@@ -1,0 +1,28 @@
+"""PSSR2-TPU: a TPU-native (JAX/XLA/Pallas) framework for point-scanning
+super-resolution microscopy, with the full capability surface of PSSR2
+(reference: ucsdmanorlab/PSSR2) re-designed TPU-first.
+
+Public API mirrors the reference package layout (``pssr/__init__.py``):
+datasets, crappifiers, models, training loops and prediction utilities.
+"""
+
+__version__ = "0.1.0"
+
+from .crappifiers import (
+    Crappifier,
+    MultiCrappifier,
+    AdditiveGaussian,
+    Poisson,
+    SaltPepper,
+    Blur,
+)
+
+__all__ = [
+    "Crappifier",
+    "MultiCrappifier",
+    "AdditiveGaussian",
+    "Poisson",
+    "SaltPepper",
+    "Blur",
+    "__version__",
+]

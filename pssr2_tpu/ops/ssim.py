@@ -1,0 +1,128 @@
+"""SSIM / MS-SSIM in JAX, numerically matched to ``pytorch_msssim``.
+
+The reference trains with an (MS-)SSIM + Gaussian-L1 mix loss built on
+pytorch_msssim (reference: pssr/util.py:10-52, train logging at
+pssr/train.py:109).  This module reimplements that math as pure JAX so the
+loss runs inside the jitted train step on TPU:
+
+- separable 1-D Gaussian window, VALID depthwise convolutions
+- K = (0.01, 0.03), compensation = 1.0
+- MS-SSIM: 5 levels, weights [0.0448, 0.2856, 0.3001, 0.2363, 0.1333],
+  2x2 avg-pool between levels with pad = (dim % 2), relu on cs terms.
+
+Layout: NCHW, matching the reference's tensor convention.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MS_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+@functools.lru_cache(maxsize=16)
+def _gaussian_window(win_size: int, win_sigma: float) -> np.ndarray:
+    coords = np.arange(win_size, dtype=np.float32) - win_size // 2
+    g = np.exp(-(coords**2) / (2 * win_sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """Separable Gaussian blur over H and W, VALID padding, per channel."""
+    c = x.shape[1]
+    k = win.shape[0]
+    # (out_c, in_c/groups, kh, kw) depthwise kernels
+    kern_h = jnp.broadcast_to(win.reshape(1, 1, k, 1), (c, 1, k, 1))
+    kern_w = jnp.broadcast_to(win.reshape(1, 1, 1, k), (c, 1, 1, k))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kern_h.shape, ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(x, kern_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+    x = jax.lax.conv_general_dilated(x, kern_w, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+    return x
+
+
+def _ssim_parts(x, y, data_range, win_size, win_sigma, k):
+    k1, k2 = k
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    win = jnp.asarray(_gaussian_window(win_size, win_sigma), dtype=x.dtype)
+
+    mu1 = _blur(x, win)
+    mu2 = _blur(y, win)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _blur(x * x, win) - mu1_sq
+    sigma2_sq = _blur(y * y, win) - mu2_sq
+    sigma12 = _blur(x * y, win) - mu1_mu2
+
+    cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
+    ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
+
+    ssim_per_channel = ssim_map.reshape(*ssim_map.shape[:2], -1).mean(-1)
+    cs_per_channel = cs_map.reshape(*cs_map.shape[:2], -1).mean(-1)
+    return ssim_per_channel, cs_per_channel
+
+
+def ssim(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    data_range: float = 255.0,
+    win_size: int = 11,
+    win_sigma: float = 1.5,
+    k=(0.01, 0.03),
+    size_average: bool = True,
+    nonnegative: bool = False,
+):
+    """Single-scale SSIM over NCHW batches (pytorch_msssim ``ssim`` parity)."""
+    s, _ = _ssim_parts(x, y, data_range, win_size, win_sigma, k)
+    if nonnegative:
+        s = jax.nn.relu(s)
+    return s.mean() if size_average else s.mean(1)
+
+
+def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average pool, stride 2, with zero pad = dim % 2 (torch semantics:
+    padded zeros are counted in the divisor)."""
+    pad_h, pad_w = x.shape[2] % 2, x.shape[3] % 2
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad_h, pad_h), (pad_w, pad_w)))
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
+    ) / 4.0
+
+
+def ms_ssim(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    data_range: float = 255.0,
+    win_size: int = 11,
+    win_sigma: float = 1.5,
+    weights=None,
+    k=(0.01, 0.03),
+    size_average: bool = True,
+):
+    """Multi-scale SSIM over NCHW batches (pytorch_msssim ``ms_ssim`` parity).
+
+    The smallest spatial dim must be > (win_size - 1) * 2**(levels-1).
+    """
+    weights = jnp.asarray(_MS_WEIGHTS if weights is None else weights, dtype=x.dtype)
+    levels = weights.shape[0]
+    smaller = min(x.shape[-2], x.shape[-1])
+    if smaller <= (win_size - 1) * (2 ** (levels - 1)):
+        raise ValueError(
+            f"Image size {x.shape[-2:]} too small for {levels}-level MS-SSIM "
+            f"with win_size={win_size}; needs > {(win_size - 1) * 2 ** (levels - 1)}."
+        )
+
+    mcs = []
+    ssim_per_channel = None
+    for i in range(levels):
+        ssim_per_channel, cs = _ssim_parts(x, y, data_range, win_size, win_sigma, k)
+        if i < levels - 1:
+            mcs.append(jax.nn.relu(cs))
+            x = _avg_pool2(x)
+            y = _avg_pool2(y)
+
+    ssim_per_channel = jax.nn.relu(ssim_per_channel)
+    stacked = jnp.stack(mcs + [ssim_per_channel], axis=0)  # (levels, B, C)
+    val = jnp.prod(stacked ** weights.reshape(-1, 1, 1), axis=0)
+    return val.mean() if size_average else val.mean(1)

@@ -1,0 +1,10 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh so multi-chip sharding
+paths are exercised without TPU hardware (the TPU-world analog of
+multi-node-without-a-cluster; see SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
