@@ -23,8 +23,9 @@ def test_resize_matches_pil():
             Image.fromarray(img).resize((out_res, out_res), Image.Resampling.BILINEAR)
         ).astype(np.float32)
         ours = np.asarray(resize_bilinear(jnp.asarray(img), out_res, out_res))
-        # PIL uses 8-bit fixed point; float path agrees to <1 LSB
-        assert np.abs(ours - pil).max() <= 1.0
+        # PIL uses 8-bit fixed-point coefficients; the float path agrees to
+        # <2 LSB worst-case (edges), <0.3 mean
+        assert np.abs(ours - pil).max() <= 2.0
         assert np.abs(ours - pil).mean() < 0.3
         ours_np = resize_bilinear_np(img, out_res, out_res)
         # f32 contraction order differs between XLA and numpy
