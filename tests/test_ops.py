@@ -23,10 +23,13 @@ def test_resize_matches_pil():
             Image.fromarray(img).resize((out_res, out_res), Image.Resampling.BILINEAR)
         ).astype(np.float32)
         ours = np.asarray(resize_bilinear(jnp.asarray(img), out_res, out_res))
-        # PIL uses 8-bit fixed-point coefficients; the float path agrees to
-        # <2 LSB worst-case (edges), <0.3 mean
-        assert np.abs(ours - pil).max() <= 2.0
-        assert np.abs(ours - pil).mean() < 0.3
+        # PIL uses 8-bit fixed-point coefficients; after uint8 rounding the
+        # float path agrees exactly on >75% of pixels, <=2 LSB worst-case
+        rounded = np.clip(np.round(ours), 0, 255)
+        diff = np.abs(rounded - pil)
+        assert diff.max() <= 2.0
+        assert diff.mean() <= 0.25
+        assert (diff == 0).mean() > 0.75
         ours_np = resize_bilinear_np(img, out_res, out_res)
         # f32 contraction order differs between XLA and numpy
         np.testing.assert_allclose(ours_np, ours, atol=0.5)
