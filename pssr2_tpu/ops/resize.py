@@ -64,9 +64,11 @@ def resize_bilinear(image: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
         return image
     wh = jnp.asarray(_resize_weights(in_h, out_h))
     ww = jnp.asarray(_resize_weights(in_w, out_w))
+    # precision="highest": full-f32 MXU passes — this op defines data parity
+    # with the reference's PIL downscale, so low-precision dot is not ok.
     out = jnp.einsum(
         "...hw,hi,wj->...ij", image.astype(jnp.float32), wh, ww,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision="highest",
     )
     return out
 
