@@ -37,8 +37,11 @@ def _blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     kern_h = jnp.broadcast_to(win.reshape(1, 1, k, 1), (c, 1, k, 1))
     kern_w = jnp.broadcast_to(win.reshape(1, 1, 1, k), (c, 1, 1, k))
     dn = jax.lax.conv_dimension_numbers(x.shape, kern_h.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, kern_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
-    x = jax.lax.conv_general_dilated(x, kern_w, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+    # precision="highest": the SSIM loss defines quality parity with the
+    # reference; the window convs are negligible next to model FLOPs.
+    prec = jax.lax.Precision.HIGHEST
+    x = jax.lax.conv_general_dilated(x, kern_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c, precision=prec)
+    x = jax.lax.conv_general_dilated(x, kern_w, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c, precision=prec)
     return x
 
 
