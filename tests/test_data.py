@@ -1,0 +1,218 @@
+"""Dataset tests: the reference's shape/length contracts
+(reference: tests/test_data.py) plus codec round-trips and fast-path checks."""
+
+import numpy as np
+import pytest
+
+from pssr2_tpu.data import (
+    ImageDataset,
+    PairedImageDataset,
+    PairedSlidingDataset,
+    SlidingDataset,
+    preprocess_dataset,
+)
+from pssr2_tpu.data import czi, tiff
+
+from _util import CROP_RES, HR_RES, LR_RES, get_shape, make_tifs
+
+N_IMAGES = 5
+N_CHANNELS = 10
+N_FRAMES = 2
+TILE_MULT = 2
+
+
+def test_tiff_roundtrip(tmp_path):
+    for dtype in [np.uint8, np.uint16, np.float32]:
+        for shape in [(32, 48), (3, 32, 48)]:
+            arr = (np.random.rand(*shape) * 255).astype(dtype)
+            tiff.imwrite(tmp_path / "x.tif", arr)
+            back = tiff.imread(tmp_path / "x.tif")
+            np.testing.assert_array_equal(back, arr)
+    n, size = tiff.num_pages_and_size(tmp_path / "x.tif")
+    assert n == 3 and size == (32, 48)
+
+
+def test_tiff_pil_interop(tmp_path):
+    # PIL can read what we write
+    from PIL import Image
+
+    arr = (np.random.rand(40, 40) * 255).astype(np.uint8)
+    tiff.imwrite(tmp_path / "x.tif", arr)
+    np.testing.assert_array_equal(np.asarray(Image.open(tmp_path / "x.tif")), arr)
+    # and we can read what PIL writes
+    Image.fromarray(arr).save(tmp_path / "y.tif")
+    np.testing.assert_array_equal(tiff.imread(tmp_path / "y.tif"), arr)
+
+
+def test_czi_roundtrip(tmp_path):
+    arr = (np.random.rand(3, 2, 1, 64, 48) * 255).astype(np.uint8)
+    czi.write_czi(tmp_path / "x.czi", arr, "TZCYX")
+    back, axes = czi.read_czi(tmp_path / "x.czi")
+    assert axes == "TZCYX"
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_imagedataset(tmp_path):
+    # Single frame
+    make_tifs(tmp_path / "sf", get_shape(HR_RES, batch=N_IMAGES))
+    dataset = ImageDataset(tmp_path / "sf")
+    assert str(dataset)
+    assert len(dataset) == N_IMAGES
+
+    hr, lr = dataset[0]
+    assert tuple(hr.shape) == get_shape(HR_RES, batch=0)
+    assert tuple(lr.shape) == get_shape(LR_RES, batch=0)
+
+    # Multi frame
+    make_tifs(tmp_path / "mf", get_shape(HR_RES, batch=N_IMAGES, channels=N_CHANNELS))
+    dataset = ImageDataset(tmp_path / "mf", n_frames=N_FRAMES)
+    assert len(dataset) == N_IMAGES * (N_CHANNELS // N_FRAMES)
+
+    hr, lr = dataset[0]
+    assert tuple(hr.shape) == get_shape(HR_RES, batch=0, channels=N_FRAMES)
+    assert tuple(lr.shape) == get_shape(LR_RES, batch=0, channels=N_FRAMES)
+
+    # LR mode
+    make_tifs(tmp_path / "lr", get_shape(LR_RES, batch=N_IMAGES))
+    dataset = ImageDataset(tmp_path / "lr", val_split=1)
+    assert len(dataset) == N_IMAGES
+    assert dataset.is_lr
+    lr = dataset[0]
+    assert tuple(lr.shape) == get_shape(LR_RES, batch=0)
+
+    # Crop res
+    make_tifs(tmp_path / "crop", get_shape(CROP_RES, batch=N_IMAGES))
+    dataset = ImageDataset(tmp_path / "crop")
+    assert len(dataset) == N_IMAGES
+    assert dataset.crop_res == CROP_RES
+    hr, lr = dataset[0]
+    assert tuple(hr.shape) == get_shape(HR_RES, batch=0)
+    assert tuple(lr.shape) == get_shape(LR_RES, batch=0)
+
+
+def test_slidingdataset(tmp_path):
+    make_tifs(tmp_path / "sf", get_shape(HR_RES * TILE_MULT, batch=N_IMAGES))
+    dataset = SlidingDataset(tmp_path / "sf", extension="tif", overlap=None, preload=False)
+    assert str(dataset)
+    assert len(dataset) == N_IMAGES * TILE_MULT**2
+
+    hr, lr = dataset[0]
+    assert tuple(hr.shape) == get_shape(HR_RES, batch=0)
+    assert tuple(lr.shape) == get_shape(LR_RES, batch=0)
+
+    # Preload
+    dataset = SlidingDataset(tmp_path / "sf", extension="tif", overlap=None, preload=True)
+    assert dataset.preload
+
+    # Multi frame
+    make_tifs(tmp_path / "mf", get_shape(HR_RES * TILE_MULT, batch=N_IMAGES, channels=N_CHANNELS))
+    dataset = SlidingDataset(tmp_path / "mf", n_frames=N_FRAMES, extension="tif", overlap=None, preload=False)
+    assert len(dataset) == N_IMAGES * (N_CHANNELS // N_FRAMES) * TILE_MULT**2
+
+    hr, lr = dataset[0]
+    assert tuple(hr.shape) == get_shape(HR_RES, batch=0, channels=N_FRAMES)
+    assert tuple(lr.shape) == get_shape(LR_RES, batch=0, channels=N_FRAMES)
+
+    # LR mode
+    make_tifs(tmp_path / "lr", get_shape(LR_RES * TILE_MULT, batch=N_IMAGES))
+    dataset = SlidingDataset(
+        tmp_path / "lr", hr_res=LR_RES, lr_scale=-1, extension="tif", overlap=None, preload=False, val_split=1
+    )
+    assert len(dataset) == N_IMAGES * TILE_MULT**2
+    assert dataset.is_lr
+    lr = dataset[0]
+    assert tuple(lr.shape) == get_shape(LR_RES, batch=0)
+
+    # slide mode over the stack dimension
+    dataset = SlidingDataset(
+        tmp_path / "mf", n_frames=N_FRAMES, slide=True, extension="tif", overlap=None, preload=False
+    )
+    assert len(dataset) == N_IMAGES * (N_CHANNELS - N_FRAMES + 1) * TILE_MULT**2
+
+
+def test_slidingdataset_czi(tmp_path):
+    import os
+
+    os.makedirs(tmp_path / "czi", exist_ok=True)
+    arr = (np.random.rand(4, 1, 1, HR_RES, HR_RES) * 200).astype(np.uint8)
+    czi.write_czi(tmp_path / "czi" / "sheet.czi", arr, "TZCYX")
+    dataset = SlidingDataset(tmp_path / "czi", extension="czi", overlap=None, preload=False, n_frames=2)
+    assert len(dataset) == 2  # 4 T-frames // 2, one tile
+    hr, lr = dataset[0]
+    assert tuple(hr.shape) == (2, HR_RES, HR_RES)
+    assert tuple(lr.shape) == (2, LR_RES, LR_RES)
+
+
+def test_pairedimagedataset(tmp_path):
+    make_tifs(tmp_path / "sf_hr", get_shape(HR_RES, batch=N_IMAGES))
+    make_tifs(tmp_path / "sf_lr", get_shape(LR_RES, batch=N_IMAGES))
+    dataset = PairedImageDataset(tmp_path / "sf_hr", tmp_path / "sf_lr")
+    assert str(dataset)
+    assert len(dataset) == N_IMAGES
+
+    hr, lr = dataset[0]
+    assert tuple(hr.shape) == get_shape(HR_RES, batch=0)
+    assert tuple(lr.shape) == get_shape(LR_RES, batch=0)
+
+    make_tifs(tmp_path / "mf_hr", get_shape(HR_RES, batch=N_IMAGES, channels=N_CHANNELS))
+    make_tifs(tmp_path / "mf_lr", get_shape(LR_RES, batch=N_IMAGES, channels=N_CHANNELS))
+    dataset = PairedImageDataset(tmp_path / "mf_hr", tmp_path / "mf_lr", n_frames=N_FRAMES)
+    assert len(dataset) == N_IMAGES * (N_CHANNELS // N_FRAMES)
+
+    hr, lr = dataset[0]
+    assert tuple(hr.shape) == get_shape(HR_RES, batch=0, channels=N_FRAMES)
+    assert tuple(lr.shape) == get_shape(LR_RES, batch=0, channels=N_FRAMES)
+
+
+def test_pairedslidingdataset(tmp_path):
+    make_tifs(tmp_path / "sf_hr", get_shape(HR_RES * TILE_MULT, batch=N_IMAGES))
+    make_tifs(tmp_path / "sf_lr", get_shape(LR_RES * TILE_MULT, batch=N_IMAGES))
+    dataset = PairedSlidingDataset(tmp_path / "sf_hr", tmp_path / "sf_lr", extension="tif", overlap=None, preload=False)
+    assert str(dataset)
+    assert len(dataset) == N_IMAGES * TILE_MULT**2
+
+    hr, lr = dataset[0]
+    assert tuple(hr.shape) == get_shape(HR_RES, batch=0)
+    assert tuple(lr.shape) == get_shape(LR_RES, batch=0)
+
+    dataset = PairedSlidingDataset(tmp_path / "sf_hr", tmp_path / "sf_lr", extension="tif", overlap=None, preload=True)
+    assert dataset.preload
+
+    make_tifs(tmp_path / "mf_hr", get_shape(HR_RES * TILE_MULT, batch=N_IMAGES, channels=N_CHANNELS))
+    make_tifs(tmp_path / "mf_lr", get_shape(LR_RES * TILE_MULT, batch=N_IMAGES, channels=N_CHANNELS))
+    dataset = PairedSlidingDataset(
+        tmp_path / "mf_hr", tmp_path / "mf_lr", n_frames=N_FRAMES, extension="tif", overlap=None, preload=False
+    )
+    assert len(dataset) == N_IMAGES * (N_CHANNELS // N_FRAMES) * TILE_MULT**2
+
+    hr, lr = dataset[0]
+    assert tuple(hr.shape) == get_shape(HR_RES, batch=0, channels=N_FRAMES)
+    assert tuple(lr.shape) == get_shape(LR_RES, batch=0, channels=N_FRAMES)
+
+
+def test_preprocess_and_names(tmp_path):
+    make_tifs(tmp_path / "images", get_shape(HR_RES, batch=2))
+    dataset = ImageDataset(tmp_path / "images")
+    preprocess_dataset(dataset, preprocess_hr=True, out_dir=str(tmp_path / "pp"))
+    lr_files = sorted((tmp_path / "pp" / "lr").glob("*.tif"))
+    hr_files = sorted((tmp_path / "pp" / "hr").glob("*.tif"))
+    assert len(lr_files) == len(hr_files) == 2
+    assert tiff.imread(lr_files[0]).shape[-1] == LR_RES
+
+
+def test_hr_patch_fast_path(tmp_path):
+    make_tifs(tmp_path / "images", get_shape(HR_RES, batch=3))
+    dataset = ImageDataset(tmp_path / "images", rotation=False)
+    patch = dataset.hr_patch(0)
+    assert patch.dtype == np.uint8
+    assert patch.shape == (1, HR_RES, HR_RES)
+    # matches the host parity path HR output (no rotation on val idx)
+    hr, _ = dataset.__getitem__(0, pp=True)
+    np.testing.assert_array_equal(patch.astype(np.float32), hr)
+
+
+def test_extra_path(tmp_path):
+    make_tifs(tmp_path / "images", get_shape(HR_RES, batch=3))
+    dataset = ImageDataset(tmp_path / "images", extra_path=tmp_path / "images")
+    (hr, lr), extra = dataset[0]
+    assert extra.shape == hr.shape
