@@ -1,0 +1,180 @@
+"""Shared model blocks (reference: pssr/models/_blocks.py), as NNX modules.
+
+All blocks run NHWC internally (TPU conv layout); the [0,255] <-> [-1,1]
+scaling contract is handled by the top-level models.  Initializers match
+torch Conv2d defaults (kaiming-uniform a=sqrt(5), uniform bias) so training
+dynamics are comparable to the reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ..ops.shuffle import pixel_shuffle
+
+# torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in)*sqrt(3))
+# i.e. variance_scaling(1/3, fan_in, uniform)
+torch_kernel_init = jax.nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def conv(in_features, out_features, kernel_size, *, rngs, dilation=1, padding="SAME", dtype=None):
+    """3x3/1x1 conv with torch-default init (NHWC)."""
+    ks = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
+    fan_in = in_features * ks[0] * ks[1]
+    return nnx.Conv(
+        in_features,
+        out_features,
+        kernel_size=ks,
+        kernel_dilation=dilation,
+        padding=padding,
+        kernel_init=torch_kernel_init,
+        bias_init=torch_bias_init(fan_in),
+        dtype=dtype,
+        rngs=rngs,
+    )
+
+
+def batch_norm(features, *, rngs, dtype=None, eps=1e-5):
+    # torch BatchNorm2d(momentum=0.1) == nnx momentum 0.9
+    return nnx.BatchNorm(features, momentum=0.9, epsilon=eps, dtype=dtype, rngs=rngs)
+
+
+class Reconstruction(nnx.Module):
+    """conv -> relu -> pixel_shuffle(scale) -> conv upscale head
+    (reference: pssr/models/_blocks.py:6-18)."""
+
+    def __init__(self, in_channels, out_channels, hidden, scale=4, *, rngs, dtype=None):
+        self.pre = conv(hidden + in_channels, scale**2 * hidden, 3, rngs=rngs, dtype=dtype)
+        self.conv = conv(hidden, out_channels, 3, rngs=rngs, dtype=dtype)
+        self.scale = scale
+
+    def __call__(self, x):
+        x = nnx.relu(self.pre(x))
+        x = self.conv(pixel_shuffle(x, self.scale, channels_last=True))
+        return x
+
+
+class ResBlock(nnx.Module):
+    """Conv stack with BatchNorm + residual 1x1 pass
+    (reference: pssr/models/_blocks.py:20-41)."""
+
+    def __init__(self, in_channels, out_channels, depth, norm=True, *, rngs, dtype=None):
+        self.convs = nnx.List([])
+        self.norms = nnx.List([])
+        n_layers = max(depth, 0) + 1
+        for layer_idx in range(n_layers):
+            self.convs.append(
+                conv(in_channels if layer_idx == 0 else out_channels, out_channels, 3, rngs=rngs, dtype=dtype)
+            )
+            self.norms.append(batch_norm(out_channels, rngs=rngs, dtype=dtype) if norm else None)
+        self.respass = conv(in_channels, out_channels, 1, rngs=rngs, dtype=dtype)
+        self.depth = depth
+        self.n_layers = n_layers
+
+    def __call__(self, x):
+        h = x
+        for layer_idx in range(self.n_layers):
+            h = self.convs[layer_idx](h)
+            if self.norms[layer_idx] is not None:
+                h = self.norms[layer_idx](h)
+            if layer_idx + 1 < self.n_layers:
+                h = nnx.relu(h)
+        return nnx.relu(h + self.respass(x))
+
+
+class ResBlockA(nnx.Module):
+    """Atrous residual block: parallel dilated branches summed
+    (reference: pssr/models/_blocks.py:43-68)."""
+
+    def __init__(self, in_channels, out_channels, dilations, depth, norm=True, *, rngs, dtype=None):
+        self.branches = nnx.List([])
+        n_layers = max(depth, 0) + 1
+        for dilation in dilations:
+            layers = nnx.List([])
+            for layer_idx in range(n_layers):
+                in_ch = in_channels if layer_idx == 0 else out_channels
+                layers.append(
+                    nnx.List([
+                        batch_norm(in_ch, rngs=rngs, dtype=dtype) if norm else None,
+                        conv(in_ch, out_channels, 3, rngs=rngs, dilation=dilation, padding="SAME", dtype=dtype),
+                    ])
+                )
+            self.branches.append(layers)
+        self.respass = conv(in_channels, out_channels, 1, rngs=rngs, dtype=dtype)
+        self.min_size = max(dilations) * 2 + 1
+        self.depth = depth
+
+    def __call__(self, x):
+        if x.shape[-2] < self.min_size:
+            raise ValueError(
+                f"Tensor size {x.shape} is smaller than dilation kernel size {self.min_size}."
+            )
+        total = None
+        for branch in self.branches:
+            h = x
+            for bn, cv in branch:
+                if bn is not None:
+                    h = bn(h)
+                h = nnx.relu(h)
+                h = cv(h)
+            total = h if total is None else total + h
+        return nnx.relu(total + self.respass(x))
+
+
+class PSPPooling(nnx.Module):
+    """Pyramid scene parsing pooling (reference: pssr/models/_blocks.py:70-92)."""
+
+    def __init__(self, channels, sizes, *, rngs, dtype=None):
+        small = channels // len(sizes)
+        self.convs = nnx.List([
+            nnx.List([conv(small, small, 1, rngs=rngs, dtype=dtype), batch_norm(small, rngs=rngs, dtype=dtype)])
+            for _ in sizes
+        ])
+        self.conv_out = conv(channels, channels, 1, rngs=rngs, dtype=dtype)
+        self.norm_out = batch_norm(channels, rngs=rngs, dtype=dtype)
+        self.sizes = sizes
+        self.small = small
+
+    def __call__(self, x):
+        h, w = x.shape[-3], x.shape[-2]
+        chunks = jnp.split(x, len(self.sizes), axis=-1)
+        outs = []
+        for idx, chunk in enumerate(chunks):
+            size = self.sizes[idx]
+            if size > 1:
+                pooled = nnx.max_pool(chunk, window_shape=(size, size), strides=(size, size))
+                # bilinear upsample back (torch F.interpolate align_corners=False)
+                pooled = jax.image.resize(pooled, (*pooled.shape[:-3], h, w, pooled.shape[-1]), method="bilinear")
+            else:
+                pooled = chunk
+            cv, bn = self.convs[idx]
+            outs.append(nnx.relu(bn(cv(pooled))))
+        x = jnp.concatenate(outs, axis=-1)
+        return nnx.relu(self.norm_out(self.conv_out(x)))
+
+
+def get_resblock(in_channels, out_channels, dilations, depth, norm=True, *, rngs, dtype=None):
+    """(reference: pssr/models/_blocks.py:114-117)"""
+    if dilations:
+        return ResBlockA(in_channels, out_channels, dilations, depth, norm, rngs=rngs, dtype=dtype)
+    return ResBlock(in_channels, out_channels, depth, norm, rngs=rngs, dtype=dtype)
+
+
+def force_list(item):
+    """(reference: pssr/util.py:220-226)"""
+    if not isinstance(item, list):
+        try:
+            return list(item)
+        except TypeError:
+            return [item]
+    return item
