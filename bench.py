@@ -1,0 +1,123 @@
+"""Benchmark: training throughput of the canonical PSSR2 config on TPU.
+
+Config matches the reference's canonical training setup
+(reference: pssr/__main__.py:36-41,117-123): ResUNet x4
+(hidden [64,128,256,512,1024]), 512->128 crappified patches, Poisson,
+batch 16, AdamW 1e-3, SSIMLoss(mix=0.8, MS).
+
+Measured: full train-step throughput (crappified patches/sec/chip) with the
+fused on-device degradation pipeline.  ``vs_baseline`` is the speedup over a
+reference-architecture pipeline on the same chip — host-side (numpy/PIL
+style) crappification feeding the identical train step sequentially, which
+is how the reference structures its data path (pssr/train.py:75-76,
+pssr/data.py:471-495).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build(batch_size, hr_res, lr_scale, dtype=None):
+    import jax
+    from flax import nnx
+
+    from pssr2_tpu.crappifiers import Poisson
+    from pssr2_tpu.data.pipeline import make_device_gen_pair
+    from pssr2_tpu.models import ResUNet
+    from pssr2_tpu.optim import AdamW
+    from pssr2_tpu.train import _build_paired_steps
+    from pssr2_tpu.util import SSIMLoss
+
+    model = ResUNet(dtype=dtype)
+    model.train()
+    optim = AdamW(1e-3)
+    optimizer = nnx.Optimizer(model, optim.tx, wrt=nnx.Param)
+
+    base = make_device_gen_pair(lr_scale, Poisson(), None, augment=True)
+
+    def gen_pair(key, batch, augment):
+        return base(key, batch)
+
+    loss_fn = SSIMLoss(mix=0.8, ms=True)
+    fused_step, _ = _build_paired_steps(loss_fn, False, gen_pair)
+    host_step, _ = _build_paired_steps(loss_fn, False, None)
+    return model, optimizer, optim, fused_step, host_step
+
+
+def _time_steps(fn, n_warmup=3, n_steps=10):
+    import jax
+
+    for _ in range(n_warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(n_steps):
+        out = fn()
+    jax.block_until_ready(out)
+    return n_steps / (time.perf_counter() - start)
+
+
+def main():
+    import jax
+
+    batch_size = int(os.environ.get("BENCH_BATCH", 16))
+    hr_res = int(os.environ.get("BENCH_HR", 512))
+    lr_scale = 4
+    n_steps = int(os.environ.get("BENCH_STEPS", 10))
+    use_bf16 = os.environ.get("BENCH_BF16", "1") != "0"
+
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if use_bf16 else None
+    model, optimizer, optim, fused_step, host_step = _build(batch_size, hr_res, lr_scale, dtype)
+
+    rng = np.random.default_rng(0)
+    hr_u8 = jnp.asarray(rng.integers(0, 255, (batch_size, 1, hr_res, hr_res)).astype(np.uint8))
+    key = jax.random.key(0)
+
+    # Fused on-device pipeline (ours): degradation + train step in one jit
+    def run_fused():
+        loss, _, _ = fused_step(model, optimizer, hr_u8, None, key, optim.lr, batch_size, False)
+        return loss
+
+    fused_sps = _time_steps(run_fused, n_steps=n_steps)
+    fused_pps = fused_sps * batch_size
+
+    # Reference-architecture pipeline: host numpy crappification + PIL-style
+    # downscale each step, sequential with the device step
+    from pssr2_tpu.crappifiers import Poisson
+    from pssr2_tpu.ops.resize import resize_bilinear_np
+
+    host_crap = Poisson()
+    hr_np = np.asarray(hr_u8).astype(np.float32)
+
+    def run_host():
+        lr = resize_bilinear_np(hr_np, hr_res // lr_scale, hr_res // lr_scale)
+        lr = np.clip(np.round(lr), 0, 255).astype(np.float32)
+        lr = np.stack([np.clip(np.round(host_crap.crappify(p)), 0, 255) for p in lr])
+        loss, _, _ = host_step(model, optimizer, (jnp.asarray(hr_np), jnp.asarray(lr)), None, key, optim.lr, batch_size, False)
+        return loss
+
+    host_sps = _time_steps(run_host, n_warmup=2, n_steps=max(4, n_steps // 2))
+    host_pps = host_sps * batch_size
+
+    print(
+        json.dumps(
+            {
+                "metric": f"train throughput, ResUNet x4 {hr_res // lr_scale}->{hr_res} crappified patches (batch {batch_size}, {'bf16' if use_bf16 else 'f32'} compute)",
+                "value": round(fused_pps, 2),
+                "unit": "patches/sec/chip",
+                "vs_baseline": round(fused_pps / host_pps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,3 +26,13 @@ __all__ = [
     "Blur",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    # Lazy submodule access (keeps `import pssr2_tpu` light: no jax/flax
+    # import cost until models/training are actually used).
+    import importlib
+
+    if name in ("data", "models", "ops", "parallel", "train", "predict", "util", "optim", "bayes", "checkpoint"):
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

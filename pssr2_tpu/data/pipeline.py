@@ -1,0 +1,140 @@
+"""The TPU input pipeline: host loader threads feed raw uint8 HR patches into
+a double-buffered host->HBM prefetcher; augmentation, PIL-matched downscale
+and crappification run fused on device inside the jitted train step.
+
+This replaces the reference's DataLoader-worker crappification
+(reference: pssr/train.py:75-76 feeding pssr/data.py:471-495) with an
+HBM-resident transform so patch degradation never stalls the TPU.
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.degrade import to_device_fn
+from ..ops.resize import resize_bilinear
+from .indexing import slice_center
+
+
+def device_augment(key, x):
+    """Per-sample random rot90/flip, matching the host distribution
+    (reference: pssr/data.py:108 — p=0.5 rot90, then always one of
+    flip-H / flip-W / flip-both uniformly).  x: (C, H, W) float."""
+    k1, k2 = jax.random.split(key)
+    rot = jax.random.bernoulli(k1)
+    x = jax.lax.cond(rot, lambda v: jnp.rot90(v, axes=(1, 2)), lambda v: v, x)
+    choice = jax.random.randint(k2, (), 0, 3)
+    x = jax.lax.switch(
+        choice,
+        [
+            lambda v: jnp.flip(v, axis=1),
+            lambda v: jnp.flip(v, axis=2),
+            lambda v: jnp.flip(v, axis=(1, 2)),
+        ],
+        x,
+    )
+    return x
+
+
+def make_device_gen_pair(lr_scale: int, crappifier, n_frames=None, augment: bool = True):
+    """Build the jittable device-side equivalent of the host ``gen_pair``
+    (reference: pssr/data.py:471-495): aug -> PIL-matched downscale (MXU
+    matmuls) -> crappify -> uint8 rounding. Returns
+    ``fn(key, hr_u8_batch) -> (hr_f32, lr_f32)`` for (B, C, H, W) input.
+    """
+    crappify_fn = to_device_fn(crappifier) if crappifier is not None else None
+    if crappifier is not None and crappify_fn is None:
+        raise ValueError(
+            f"Crappifier {type(crappifier).__name__} has no device lowering; "
+            "use host_fallback=True in the loader or implement a device fn."
+        )
+
+    def gen_pair(key, hr_u8):
+        hr = hr_u8.astype(jnp.float32)
+        b = hr.shape[0]
+        if augment:
+            k_aug, key = jax.random.split(key)
+            hr = jax.vmap(device_augment)(jax.random.split(k_aug, b), hr)
+
+        lr_res = hr.shape[-1] // lr_scale
+        lr = resize_bilinear(hr, lr_res, lr_res)
+        lr = jnp.clip(jnp.round(lr), 0, 255)  # uint8 rounding, as PIL produces
+
+        if crappify_fn is not None:
+            lr = jax.vmap(crappify_fn)(jax.random.split(key, b), lr)
+            lr = jnp.clip(jnp.round(lr), 0, 255)
+
+        if n_frames is not None and n_frames[0] != n_frames[1]:
+            if not n_frames[1] > hr.shape[-3]:
+                hr = slice_center(hr, n_frames[1])
+            if not n_frames[0] > lr.shape[-3]:
+                lr = slice_center(lr, n_frames[0])
+        return hr, lr
+
+    return gen_pair
+
+
+class PatchLoader:
+    """Threaded host loader yielding padded uint8 HR patch batches.
+
+    Yields ``(batch_u8 (B, C, H, W), n_valid)`` where the batch is padded up
+    to ``batch_size`` by repeating the last sample; ``n_valid`` marks the
+    real count so the train step can slice exactly (loss parity with the
+    reference's variable last batch).
+    """
+
+    def __init__(self, dataset, sampler, batch_size: int, num_workers: int = 4, pad_to: int = None):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.pad_to = batch_size if pad_to is None else pad_to
+
+    def __len__(self):
+        return (len(self.sampler) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = list(self.sampler)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            # pipeline two batches ahead
+            pending = []
+            for start in range(0, len(order), self.batch_size):
+                idx = order[start : start + self.batch_size]
+                pending.append((pool.map(self.dataset.hr_patch, idx), len(idx)))
+                if len(pending) > 2:
+                    yield self._finalize(*pending.pop(0))
+            while pending:
+                yield self._finalize(*pending.pop(0))
+
+    def _finalize(self, patches, n_valid):
+        patches = list(patches)
+        while len(patches) < self.pad_to:
+            patches.append(patches[-1])
+        return np.stack(patches), n_valid
+
+
+def prefetch_to_device(iterator, sharding=None, depth: int = 2):
+    """Double-buffered host->device transfer: overlaps H2D copies of the next
+    batches with device compute on the current one."""
+    q = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch, n_valid in iterator:
+                arr = jax.device_put(batch, sharding) if sharding is not None else jnp.asarray(batch)
+                q.put((arr, n_valid))
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item

@@ -1,0 +1,286 @@
+"""Prediction and benchmarking (reference: pssr/predict.py).
+
+``predict_images`` runs batched jitted inference over the validation split;
+``test_metrics`` computes MSE/pixel/PSNR/SSIM per image.  The reference's
+``test_metrics`` bug of always loading ``dataset[0]`` (pssr/predict.py:180,
+SURVEY.md §2.3) is fixed here: each validation index is actually evaluated.
+"""
+
+import os
+from functools import partial
+
+import jax
+import numpy as np
+from flax import nnx
+from PIL import Image
+from tqdm import tqdm
+
+from .data.indexing import RandomIterIdx, slice_center
+from .ops.metrics import psnr as psnr_np
+from .ops.metrics import ssim_np
+from .util import _get_callbacks, normalize_preds, pixel_metric
+
+
+def _eval_forward(model):
+    """Build a jitted eval forward over the model's functional state."""
+    model.eval()
+    graphdef, state = nnx.split(model)
+
+    @partial(jax.jit)
+    def forward(state, lr):
+        m = nnx.merge(graphdef, state)
+        return m(lr)
+
+    return lambda lr: forward(state, lr)
+
+
+def _pred_array(data, n_frames=1):
+    """clip -> uint8 -> center frame (reference: pssr/predict.py:245-246)."""
+    return slice_center(np.clip(np.asarray(data), 0, 255).astype(np.uint8), n_frames)
+
+
+def predict_images(
+    model,
+    dataset,
+    device: str = None,
+    batch_size=None,
+    out_dir: str = "preds",
+    norm: bool = False,
+    prefix: str = None,
+    dataloader_kwargs=None,
+    callbacks=None,
+):
+    """Predicts high-resolution images from low-resolution images
+    (reference: pssr/predict.py:11-83; same output naming/layout).
+
+    Only uses evaluation images; set ``val_split=1`` to use all images.
+
+    Args:
+        model : Model to receive low-resolution images.
+
+        dataset : Dataset to load low-resolution images from.
+
+        device (str) : Ignored (kept for reference API compatibility).
+
+        batch_size (int) : Inference batch size (None = 1).
+
+        out_dir (str) : Directory to save images; None returns a dict of
+            named images (consumable by :func:`reassemble_sheets`).
+
+        norm (bool) : Normalize prediction intensities to ground truth
+            (requires a paired dataset).
+
+        prefix (str) : Output file name prefix.
+
+        dataloader_kwargs, callbacks : reference-compatible extras.
+    """
+    batch_size = 1 if batch_size is None else batch_size
+    if norm and dataset.is_lr:
+        raise ValueError("Dataset must be paired with high-low-resolution images for normalization.")
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+
+    callbacks, callback_locals = _get_callbacks(callbacks)
+    forward = _eval_forward(model)
+
+    from .data import tiff
+
+    outs, cur_idx = {}, 0
+    val_idx = list(dataset.val_idx)
+    progress = tqdm(range(0, len(val_idx), batch_size))
+    for start in progress:
+        idx_batch = val_idx[start : start + batch_size]
+        items = [dataset[i] for i in idx_batch]
+        if dataset.is_lr:
+            lr = np.stack([np.asarray(item) for item in items])
+            hr = None
+        else:
+            hr = np.stack([np.asarray(item[0]) for item in items])
+            lr = np.stack([np.asarray(item[1]) for item in items])
+
+        hr_hat = _pred_array(forward(lr))
+
+        if norm:
+            _, hr_hat = normalize_preds(_pred_array(hr), hr_hat)
+
+        crop_res = dataset.crop_res if not dataset.is_lr else dataset.crop_res * (hr_hat.shape[-1] // lr.shape[-1])
+        hr_hat = hr_hat[:, :, :crop_res, :crop_res]
+
+        for batch_idx, image_idx in enumerate(range(cur_idx, min(cur_idx + batch_size, len(val_idx)))):
+            if out_dir:
+                tiff.imwrite(
+                    f"{out_dir}/{prefix + '_' if prefix else ''}{dataset._get_name(image_idx)}.tif",
+                    hr_hat[batch_idx],
+                )
+            else:
+                outs[dataset._get_name(image_idx)] = hr_hat[batch_idx]
+
+            for idx, callback in enumerate(callbacks):
+                if callback_locals[idx]:
+                    callback(locals())
+                else:
+                    callback()
+        cur_idx += batch_size
+
+    if out_dir is None:
+        return outs
+
+
+def predict_collage(
+    model,
+    dataset,
+    device: str = None,
+    norm: bool = True,
+    n_images: int = None,
+    prefix: str = None,
+    out_dir: str = "preds",
+    callbacks=None,
+):
+    """Saves a collage of LR | PSSR | HR columns over validation images
+    (reference: pssr/predict.py:85-142)."""
+    if norm and dataset.is_lr:
+        raise ValueError("Dataset must be paired with high-low-resolution images for normalization.")
+
+    callbacks, callback_locals = _get_callbacks(callbacks)
+    n_images = min(50, len(dataset)) if n_images is None else n_images
+    forward = _eval_forward(model)
+
+    collage = Image.new("L", (dataset.crop_res * (2 if dataset.is_lr else 3), dataset.crop_res * n_images))
+    iterator = (
+        RandomIterIdx(dataset.val_idx, seed=True) if len(dataset.val_idx) < len(dataset) else dataset.val_idx
+    )
+    count = 0
+    for idx, data_idx in enumerate(iterator):
+        if dataset.is_lr:
+            lr = np.asarray(dataset[data_idx])[np.newaxis]
+            hr = None
+        else:
+            hr, lr = dataset[data_idx]
+            hr, lr = np.asarray(hr)[np.newaxis], np.asarray(lr)[np.newaxis]
+
+        hr_hat = np.asarray(forward(lr))
+        collage.paste(
+            _collage_preds(lr, hr_hat, hr, norm, 1, dataset.crop_res, dataset.lr_scale),
+            (0, dataset.crop_res * idx),
+        )
+
+        for cb_idx, callback in enumerate(callbacks):
+            if callback_locals[cb_idx]:
+                callback(locals())
+            else:
+                callback()
+
+        count = idx
+        if idx >= n_images - 1:
+            break
+
+    os.makedirs(out_dir, exist_ok=True)
+    collage.save(f"{out_dir}/{prefix + '_' if prefix else ''}collage_{n_images}.png")
+
+
+def test_metrics(
+    model,
+    dataset,
+    device: str = None,
+    metrics=("mse", "pixel", "psnr", "ssim"),
+    avg: bool = True,
+    norm: bool = True,
+    callbacks=None,
+):
+    """Computes restoration metrics of predicted vs ground truth images
+    (reference: pssr/predict.py:144-211; the dataset[0] indexing bug at
+    predict.py:180 is fixed — every val index is evaluated).
+
+    Args:
+        model : Model to receive low-resolution images.
+
+        dataset : Paired dataset.
+
+        metrics (list[str]) : Any of "mse", "pixel", "psnr", "ssim".
+
+        avg (bool) : Return a single averaged value per metric.
+
+        norm (bool) : Normalize prediction intensities to ground truth.
+    """
+    callbacks, callback_locals = _get_callbacks(callbacks)
+    image_range = 255
+
+    metrics = [metrics] if isinstance(metrics, str) else list(metrics)
+    metrics = {metric: [] for metric in metrics}
+    use_mse = any(x in metrics for x in ["mse", "pixel"])
+    forward = _eval_forward(model)
+
+    progress = tqdm(dataset.val_idx)
+    for data_idx in progress:
+        hr, lr = dataset[data_idx]
+        hr = np.asarray(hr)[np.newaxis]
+        lr = np.asarray(lr)[np.newaxis]
+
+        hr_hat = np.asarray(forward(lr))
+        hr, hr_hat = _pred_array(hr), _pred_array(hr_hat)
+
+        crop_res = dataset.crop_res if not dataset.is_lr else dataset.crop_res * (hr_hat.shape[-1] // lr.shape[-1])
+        hr, hr_hat = hr[:, :, :crop_res, :crop_res], hr_hat[:, :, :crop_res, :crop_res]
+
+        if norm:
+            hr, hr_hat = normalize_preds(hr, hr_hat)
+
+        for idx in range(len(hr)):
+            mse = np.mean((hr[idx] / image_range - hr_hat[idx] / image_range) ** 2) if use_mse else None
+            if "mse" in metrics:
+                metrics["mse"].append(mse)
+            if "pixel" in metrics:
+                metrics["pixel"].append(pixel_metric(mse, image_range))
+            if "psnr" in metrics:
+                metrics["psnr"].append(psnr_np(hr[idx], hr_hat[idx], data_range=image_range))
+            if "ssim" in metrics:
+                metrics["ssim"].append(ssim_np(hr[idx].squeeze(), hr_hat[idx].squeeze(), data_range=image_range))
+
+        for cb_idx, callback in enumerate(callbacks):
+            if callback_locals[cb_idx]:
+                callback(locals())
+            else:
+                callback()
+
+    return {metric: (sum(values) / len(values) if avg else values) for metric, values in metrics.items()}
+
+
+def _collage_preds(lr, hr_hat, hr, norm: bool = False, max_images: int = 5, crop_res: int = None, lr_scale: int = 4):
+    """(reference: pssr/predict.py:213-232)"""
+    lr, hr_hat = np.asarray(lr), np.asarray(hr_hat)
+    hr = None if hr is None else np.asarray(hr)
+
+    crop_res = hr_hat.shape[-1] if crop_res is None else crop_res
+    lr_scale = int(hr_hat.shape[-1] / lr.shape[-1]) if lr_scale is None else lr_scale
+
+    lr = _pred_array(lr)[:, :, : crop_res // lr_scale, : crop_res // lr_scale]
+    hr_hat = _pred_array(hr_hat)[:, :, :crop_res, :crop_res]
+    hr = None if hr is None else _pred_array(hr)[:, :, :crop_res, :crop_res]
+
+    if norm:
+        hr, hr_hat = normalize_preds(hr, hr_hat)
+        _, lr = normalize_preds(hr, lr)
+
+    lr = _image_stack(lr, max_images)
+    hr_hat = _image_stack(hr_hat, max_images)
+    hr = None if hr is None else _image_stack(hr, max_images)
+
+    lr = lr.resize((hr_hat.width, hr_hat.height), Image.Resampling.NEAREST)
+    if hr is not None and hr_hat.size != hr.size:
+        hr_hat = hr_hat.resize((hr.width, hr.height), Image.Resampling.NEAREST)
+
+    return _image_stack([lr, hr_hat] + ([hr] if hr is not None else []), raw=False)
+
+
+def _image_stack(data, max_images: int = 5, raw: bool = True):
+    """(reference: pssr/predict.py:234-243)"""
+    images = (
+        [Image.fromarray(image.astype(np.uint8), mode="L") for image in data[: min(max_images, len(data)), 0]]
+        if raw
+        else data
+    )
+    width, height = images[0].width, images[0].height
+    stack = Image.new("L", (width, height * len(images)) if raw else (width * len(images), height))
+    for idx, image in enumerate(images):
+        stack.paste(image, (0, height * idx) if raw else (width * idx, 0))
+    return stack

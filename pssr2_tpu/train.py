@@ -1,0 +1,540 @@
+"""Training loops (reference: pssr/train.py), re-designed TPU-first.
+
+``train_paired`` keeps the reference's control surface (loss every
+``log_frequency``, per-epoch validation with a seeded sampler, checkpoints,
+collages, callbacks-with-locals) but the hot path is one jitted
+``train_step``:
+
+- raw uint8 HR patches stream through a double-buffered host->HBM prefetch
+- augmentation, PIL-matched downscale and crappification run fused on
+  device (pssr2_tpu.data.pipeline), so the degradation pipeline lives in
+  HBM instead of DataLoader workers (reference: pssr/train.py:75-76)
+- forward/backward/AdamW update run under nnx.jit; with a device mesh the
+  batch is sharded over the ``data`` axis and XLA inserts the gradient
+  psum (no hand-written collectives)
+- partial final batches are handled exactly: batches are padded to a static
+  shape and sliced to ``n_valid`` inside the step (only 2 compiled shapes),
+  so any user loss callable sees exactly the real samples.
+
+``train_crappifier`` (learned crappifier) and ``approximate_crappifier``
+(Bayesian parameter fitting) mirror reference behavior — including fixing
+the reference's ``callbacks`` NameError (reference: pssr/train.py:227, see
+SURVEY.md §2.3).
+"""
+
+import os
+import random
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+from tqdm import tqdm
+
+from .checkpoint import save_weights
+from .data.indexing import RandomIterIdx, invert_idx
+from .data.pipeline import PatchLoader, make_device_gen_pair, prefetch_to_device
+from .ops.gradhist import GradHist
+from .ops.ssim import ssim as jssim
+from .optim import ReduceLROnPlateau
+from .parallel.mesh import batch_sharding, replicated_sharding
+from .util import SSIMLoss, _get_callbacks, _psnr_metric, pixel_metric
+
+IMAGE_RANGE = 255
+
+
+def _set_lr(optimizer, lr_rate):
+    """Write the scheduler-controlled learning rate into the injected optax
+    hyperparams (device scalar; no recompilation on change)."""
+    opt_state = optimizer.opt_state
+    hyper = opt_state.hyperparams if hasattr(opt_state, "hyperparams") else opt_state[0].hyperparams
+    hyper["learning_rate"][...] = lr_rate
+
+
+def _replicate_module_state(mesh, *nodes):
+    for node in nodes:
+        state = nnx.state(node)
+        nnx.update(node, jax.device_put(state, replicated_sharding(mesh)))
+
+
+def _build_paired_steps(loss_fn, clamp, gen_pair):
+    """Jitted train/val steps. ``gen_pair(key, batch, augment)`` is the
+    on-device degradation (None = batches arrive as ready (hr, lr) pairs)."""
+
+    def _prepare(batch, key, n_valid, train):
+        if gen_pair is not None:
+            hr, lr = gen_pair(key, batch, augment=train)
+        else:
+            hr, lr = batch
+        return hr[:n_valid], lr[:n_valid]
+
+    def _loss(model, lr, hr, extra):
+        hr_hat = model(lr)
+        if clamp:
+            hr_hat = jnp.clip(hr_hat, 0, IMAGE_RANGE)
+        if extra is None:
+            loss = loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE)
+        else:
+            loss = loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE, extra / IMAGE_RANGE)
+        return loss, hr_hat
+
+    @partial(nnx.jit, static_argnames=("n_valid", "with_metrics"))
+    def train_step(model, optimizer, batch, extra, key, lr_rate, n_valid, with_metrics):
+        hr, lr = _prepare(batch, key, n_valid, train=True)
+        if extra is not None:
+            extra = extra[:n_valid]
+
+        _set_lr(optimizer, lr_rate)
+        (loss, hr_hat), grads = nnx.value_and_grad(_loss, has_aux=True)(model, lr, hr, extra)
+        optimizer.update(model, grads)
+
+        metrics = None
+        if with_metrics:
+            mse = jnp.mean((hr_hat / IMAGE_RANGE - hr / IMAGE_RANGE) ** 2)
+            s = jssim(hr_hat, hr, data_range=IMAGE_RANGE)
+            metrics = (mse, s)
+        return loss, metrics, (lr, hr_hat, hr)
+
+    @partial(nnx.jit, static_argnames=("n_valid",))
+    def val_step(model, batch, extra, key, n_valid):
+        hr, lr = _prepare(batch, key, n_valid, train=False)
+        if extra is not None:
+            extra = extra[:n_valid]
+        loss, hr_hat = _loss(model, lr, hr, extra)
+        return loss, (lr, hr_hat, hr)
+
+    return train_step, val_step
+
+
+def _use_device_pipeline(dataset):
+    """The on-device degradation fast path applies when the dataset generates
+    LR by crappification with a device-lowerable crappifier."""
+    from .ops.degrade import to_device_fn
+
+    return (
+        not dataset.is_lr
+        and getattr(dataset, "crappifier", None) is not None
+        and getattr(dataset, "extra_hr_files", None) is None
+        and getattr(dataset, "transforms", None) is None
+        and type(dataset).__name__ in ("ImageDataset", "SlidingDataset")
+        and to_device_fn(dataset.crappifier) is not None
+    )
+
+
+class _PairBatchLoader:
+    """Host fallback loader: items come from ``dataset[idx]`` (parity path);
+    yields ((hr, lr), extra_or_None, n_valid) padded to batch_size."""
+
+    def __init__(self, dataset, sampler, batch_size, num_workers=4, pad_to=None):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.pad_to = batch_size if pad_to is None else pad_to
+
+    def __len__(self):
+        return (len(self.sampler) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        order = list(self.sampler)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for start in range(0, len(order), self.batch_size):
+                idx = order[start : start + self.batch_size]
+                items = list(pool.map(self.dataset.__getitem__, idx))
+                n_valid = len(items)
+                while len(items) < self.pad_to:
+                    items.append(items[-1])
+                if getattr(self.dataset, "extra_hr_files", None) is not None:
+                    pairs = [item[0] for item in items]
+                    extra = np.stack([np.asarray(item[1]) for item in items])
+                else:
+                    pairs, extra = items, None
+                hr = np.stack([np.asarray(p[0]) for p in pairs])
+                lr = np.stack([np.asarray(p[1]) for p in pairs])
+                yield (hr, lr), extra, n_valid
+
+
+def train_paired(
+    model,
+    dataset,
+    batch_size: int,
+    loss_fn,
+    optim,
+    epochs: int,
+    device: str = None,
+    scheduler=None,
+    log_frequency: int = 50,
+    checkpoint_dir: str = None,
+    collage_dir: str = None,
+    clamp: bool = False,
+    dataloader_kwargs=None,
+    callbacks=None,
+    mesh=None,
+    seed: int = 0,
+):
+    """Trains model on paired high-low-resolution crappified data
+    (reference: pssr/train.py:19-166; same control surface).
+
+    Args:
+        model : NNX model to train.
+
+        dataset : Paired image dataset to load data from.
+
+        batch_size (int) : Global batch size (sharded over the mesh if given).
+
+        loss_fn : Loss callable on [0,1] images (e.g. :class:`SSIMLoss`).
+
+        optim : :class:`pssr2_tpu.optim.AdamW` (or compatible wrapper).
+
+        epochs (int) : Number of epochs.
+
+        device (str) : Ignored (JAX device placement is automatic); kept for
+            reference API compatibility.
+
+        scheduler : Optional scheduler from :mod:`pssr2_tpu.optim`.
+
+        log_frequency (int) : Steps between loss logging / metric refresh.
+
+        checkpoint_dir (str) : Per-epoch weights checkpoint dir (None skips).
+
+        collage_dir (str) : Per-epoch validation collage dir (None skips).
+
+        clamp (bool) : Clamp model output to image range before loss.
+
+        dataloader_kwargs (dict) : ``num_workers`` for the host loader.
+
+        callbacks (list[Callable]) : Per-batch callbacks; 1-arg callables
+            receive the loop ``locals()`` (reference protocol,
+            pssr/util.py:228-231).
+
+        mesh : Optional ``jax.sharding.Mesh`` with a ``data`` axis for
+            multi-chip data parallelism.
+
+        seed (int) : RNG seed for on-device augmentation/crappification.
+
+    Returns:
+        train_losses (list[float]), val_losses (list[float])
+    """
+    dataloader_kwargs = dataloader_kwargs or {}
+    num_workers = dataloader_kwargs.get("num_workers", 4)
+    callbacks, callback_locals = _get_callbacks(callbacks)
+    image_range = IMAGE_RANGE
+
+    if mesh is not None and batch_size % mesh.devices.size != 0:
+        raise ValueError(
+            f"batch_size {batch_size} must be divisible by mesh size {mesh.devices.size}."
+        )
+
+    use_device_pipe = _use_device_pipeline(dataset)
+    gen_pair = None
+    if use_device_pipe:
+        aug = make_device_gen_pair(dataset.lr_scale, dataset.crappifier, dataset.n_frames, augment=dataset.rotation)
+        no_aug = make_device_gen_pair(dataset.lr_scale, dataset.crappifier, dataset.n_frames, augment=False)
+
+        def gen_pair(key, batch, augment):
+            return aug(key, batch) if augment else no_aug(key, batch)
+
+    train_idx = list(invert_idx(dataset.val_idx, len(dataset)))
+    train_sampler = RandomIterIdx(train_idx)
+    val_sampler = RandomIterIdx(dataset.val_idx, seed=True)
+
+    if use_device_pipe:
+        train_loader = PatchLoader(dataset, train_sampler, batch_size, num_workers)
+        val_loader = PatchLoader(dataset, val_sampler, batch_size, num_workers)
+    else:
+        train_loader = _PairBatchLoader(dataset, train_sampler, batch_size, num_workers)
+        val_loader = _PairBatchLoader(dataset, val_sampler, batch_size, num_workers)
+
+    include_metric = isinstance(scheduler, ReduceLROnPlateau)
+
+    optimizer = nnx.Optimizer(model, optim.tx, wrt=nnx.Param)
+    if mesh is not None:
+        _replicate_module_state(mesh, model, optimizer)
+        data_shard = batch_sharding(mesh)
+    else:
+        data_shard = None
+
+    train_step, val_step = _build_paired_steps(loss_fn, clamp, gen_pair)
+
+    key = jax.random.key(seed)
+    train_losses, val_losses = [], []
+    last_full, last_full_val = None, None
+
+    def _wrap_batches(loader):
+        if use_device_pipe:
+            for batch, n_valid in prefetch_to_device(iter(loader), data_shard):
+                yield batch, None, n_valid
+        else:
+            for (hr, lr), extra, n_valid in loader:
+                if data_shard is not None:
+                    hr = jax.device_put(hr, data_shard)
+                    lr = jax.device_put(lr, data_shard)
+                    extra = jax.device_put(extra, data_shard) if extra is not None else None
+                yield (hr, lr), extra, n_valid
+
+    for epoch in range(epochs):
+        model.train()
+        print(f"Epoch {epoch}:")
+        n_batches = len(train_loader)
+
+        progress = tqdm(_wrap_batches(train_loader), total=n_batches)
+        for batch_idx, (batch, extra, n_valid) in enumerate(progress):
+            key, step_key = jax.random.split(key)
+            with_metrics = batch_idx % log_frequency == 0 or batch_idx == n_batches - 1
+            loss, metrics, tensors = train_step(
+                model, optimizer, batch, extra, step_key, optim.lr, n_valid, with_metrics
+            )
+
+            if with_metrics:
+                train_losses.append(float(loss))
+                mse, s = metrics
+                mse = float(mse)
+                progress.set_description(
+                    f"pixel[{pixel_metric(mse, image_range):.2f}], "
+                    f"psnr[{float(_psnr_metric(mse)):.2f}], ssim[{float(s):.3f}]"
+                )
+
+            if batch_idx == max(n_batches, 2) - 2:
+                last_full = [np.asarray(t) for t in tensors]
+
+            for idx, callback in enumerate(callbacks):
+                if callback_locals[idx]:
+                    callback(locals())
+                else:
+                    callback()
+
+        # Validation (seeded sampler order; reference: pssr/train.py:121-148)
+        model.eval()
+        print(f"Epoch {epoch} validation...")
+        val_loss = []
+        n_val_batches = len(val_loader)
+        progress = tqdm(_wrap_batches(val_loader), total=n_val_batches)
+        for batch_idx, (batch, extra, n_valid) in enumerate(progress):
+            key, step_key = jax.random.split(key)
+            loss, tensors = val_step(model, batch, extra, step_key, n_valid)
+            val_loss.append(float(loss))
+            if batch_idx == max(n_val_batches, 2) - 2:
+                last_full_val = [np.asarray(t) for t in tensors]
+
+        val_loss = sum(val_loss) / len(val_loss)
+        val_losses.append(val_loss)
+        print(f"Epoch {epoch} validation loss: {val_loss:4f}\n")
+
+        if checkpoint_dir and epoch < epochs - 1:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            save_weights(model, f"{checkpoint_dir}/checkpoint{epoch}_{type(model).__name__}_{val_loss:.4f}.npz")
+
+        if collage_dir and last_full_val is not None:
+            from .predict import _collage_preds
+
+            collage = _collage_preds(*last_full_val, crop_res=dataset.crop_res, lr_scale=dataset.lr_scale)
+            os.makedirs(collage_dir, exist_ok=True)
+            collage.save(f"{collage_dir}/epoch{epoch}_loss{val_loss:.4f}.png")
+
+        if scheduler:
+            if include_metric:
+                scheduler.step(val_loss)
+            else:
+                scheduler.step()
+
+    model.eval()
+    return train_losses, val_losses
+
+
+def train_crappifier(
+    model,
+    dataset,
+    batch_size: int,
+    optim,
+    epochs: int,
+    sigma: int = 5,
+    clip: float = 3,
+    device: str = None,
+    scheduler=None,
+    log_frequency: int = 50,
+    checkpoint_dir: str = None,
+    collage_dir: str = None,
+    clamp: bool = False,
+    dataloader_kwargs=None,
+    callbacks=None,
+    seed: int = 0,
+):
+    """EXPERIMENTAL: trains an NNX model as a learned crappifier on paired
+    data; loss = MSE of differentiable noise histograms x SSIM of noise
+    profiles (reference: pssr/train.py:168-322, 388-402).  The model must
+    preserve input size (scale=1).
+
+    Note: the reference references an absent ``callbacks`` argument and
+    raises NameError (pssr/train.py:227); here callbacks are a real argument.
+    """
+    dataloader_kwargs = dataloader_kwargs or {}
+    num_workers = dataloader_kwargs.get("num_workers", 4)
+    callbacks, callback_locals = _get_callbacks(callbacks)
+    image_range = IMAGE_RANGE
+
+    train_sampler = RandomIterIdx(list(invert_idx(dataset.val_idx, len(dataset))))
+    val_sampler = RandomIterIdx(dataset.val_idx, seed=True)
+    train_loader = _PairBatchLoader(dataset, train_sampler, batch_size, num_workers)
+    val_loader = _PairBatchLoader(dataset, val_sampler, batch_size, num_workers)
+    include_metric = isinstance(scheduler, ReduceLROnPlateau)
+
+    hist_fn = GradHist(sigma=sigma)
+    ssim_loss = SSIMLoss(ms=False)
+    optimizer = nnx.Optimizer(model, optim.tx, wrt=nnx.Param)
+
+    def _crap_loss(lr, lr_hat, ds_hr):
+        # (reference: pssr/train.py:388-402)
+        pred_profile = lr_hat - ds_hr
+        target_profile = lr - ds_hr
+        dist_error = jnp.mean((hist_fn(pred_profile) - hist_fn(target_profile)) ** 2) / (lr.shape[-1] ** 2)
+        profile_error = ssim_loss(pred_profile, target_profile)
+        return dist_error * profile_error
+
+    @partial(nnx.jit, static_argnames=("n_valid", "scale"))
+    def train_step(model, optimizer, hr, lr, lr_rate, n_valid, scale):
+        hr, lr = hr[:n_valid], lr[:n_valid]
+        ds_hr = hr[:, :, ::scale, ::scale]
+
+        def loss_of(m):
+            lr_hat = m(ds_hr)
+            if clamp:
+                lr_hat = jnp.clip(lr_hat, 0, image_range)
+            return _crap_loss(lr, lr_hat, ds_hr), lr_hat
+
+        _set_lr(optimizer, lr_rate)
+        (loss, lr_hat), grads = nnx.value_and_grad(loss_of, has_aux=True)(model)
+        if clip is not None and clip > 0:
+            grads = jax.tree.map(lambda g: jnp.clip(g, -clip, clip), grads)
+        optimizer.update(model, grads)
+        return loss, (lr, lr_hat, hr)
+
+    @partial(nnx.jit, static_argnames=("n_valid", "scale"))
+    def val_step(model, hr, lr, n_valid, scale):
+        hr, lr = hr[:n_valid], lr[:n_valid]
+        ds_hr = hr[:, :, ::scale, ::scale]
+        lr_hat = model(ds_hr)
+        if clamp:
+            lr_hat = jnp.clip(lr_hat, 0, image_range)
+        return _crap_loss(lr, lr_hat, ds_hr), (lr, lr_hat, hr)
+
+    train_losses, val_losses = [], []
+    last_full_val = None
+    for epoch in range(epochs):
+        model.train()
+        print(f"Epoch {epoch}:")
+        n_batches = len(train_loader)
+        progress = tqdm(iter(train_loader), total=n_batches)
+        for batch_idx, ((hr, lr), _extra, n_valid) in enumerate(progress):
+            scale = int(hr.shape[-1] / lr.shape[-1])
+            loss, tensors = train_step(model, optimizer, jnp.asarray(hr), jnp.asarray(lr), optim.lr, n_valid, scale)
+            if batch_idx % log_frequency == 0 or batch_idx == n_batches - 1:
+                train_losses.append(float(loss))
+                progress.set_description(f"loss[{float(loss):.4f}]")
+            if batch_idx == max(n_batches, 2) - 2:
+                last_full = [np.asarray(t) for t in tensors]
+            for idx, callback in enumerate(callbacks):
+                if callback_locals[idx]:
+                    callback(locals())
+                else:
+                    callback()
+
+        model.eval()
+        print(f"Epoch {epoch} validation...")
+        val_loss = []
+        n_val = len(val_loader)
+        progress = tqdm(iter(val_loader), total=n_val)
+        for batch_idx, ((hr, lr), _extra, n_valid) in enumerate(progress):
+            scale = int(hr.shape[-1] / lr.shape[-1])
+            loss, tensors = val_step(model, jnp.asarray(hr), jnp.asarray(lr), n_valid, scale)
+            val_loss.append(float(loss))
+            if batch_idx == max(n_val, 2) - 2:
+                last_full_val = [np.asarray(t) for t in tensors]
+
+        val_loss = sum(val_loss) / len(val_loss)
+        val_losses.append(val_loss)
+        print(f"Epoch {epoch} validation loss: {val_loss:4f}\n")
+
+        if checkpoint_dir and epoch < epochs - 1:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            save_weights(model, f"{checkpoint_dir}/checkpoint{epoch}_{type(model).__name__}_{val_loss:.4f}.npz")
+        if collage_dir and last_full_val is not None:
+            from .predict import _collage_preds
+
+            collage = _collage_preds(*last_full_val, crop_res=dataset.crop_res, lr_scale=dataset.lr_scale)
+            os.makedirs(collage_dir, exist_ok=True)
+            collage.save(f"{collage_dir}/epoch{epoch}_loss{val_loss:.4f}.png")
+        if scheduler:
+            if include_metric:
+                scheduler.step(val_loss)
+            else:
+                scheduler.step()
+
+    model.eval()
+    return train_losses, val_losses
+
+
+def approximate_crappifier(crappifier, space, dataset, max_images=None, opt_kwargs=None):
+    """Approximates :class:`Crappifier` parameters from real paired images by
+    Bayesian optimization (reference: pssr/train.py:324-386; the crappifier
+    objective is non-differentiable so gp minimization is used).
+
+    Args:
+        crappifier : Crappifier *class* whose parameter space is optimized.
+
+        space : List of parameter spaces (:class:`pssr2_tpu.bayes.Real` /
+            ``Integer``), one per crappifier parameter.
+
+        dataset : Paired image dataset.
+
+        max_images (int) : Samples averaged per optimization step.
+
+        opt_kwargs (dict) : Keyword arguments for ``gp_minimize``.
+    """
+    from .bayes import gp_minimize
+
+    space = [space] if not isinstance(space, list) else space
+    n_samples = len(dataset) if max_images is None else min(max_images, len(dataset))
+    opt_kwargs = {} if opt_kwargs is None else opt_kwargs
+
+    objective = _CrappifierObjective(crappifier, dataset, n_samples).sample
+    return gp_minimize(objective, space, **opt_kwargs)
+
+
+class _CrappifierObjective:
+    """(reference: pssr/train.py:348-386)"""
+
+    def __init__(self, crappifier, dataset, n_samples):
+        self.crappifier = crappifier
+        self.dataset = dataset
+        self.n_samples = n_samples
+
+    def sample(self, params):
+        from .ops.resize import resize_bilinear_np
+
+        sample_idx = list(range(len(self.dataset)))
+        random.shuffle(sample_idx)
+
+        metrics = []
+        for idx in sample_idx[: self.n_samples]:
+            hr, lr = self.dataset[idx]
+            hr = np.clip(np.asarray(hr), 0, 255).astype(np.uint8)
+            lr = np.clip(np.asarray(lr), 0, 255).astype(np.uint8)
+
+            # downsampled HR is the baseline for noise-profile comparison
+            ds_hr = np.clip(np.round(resize_bilinear_np(hr, *lr.shape[-2:])), 0, 255).astype(np.uint8)
+            lr_hat = self.crappifier(*params).crappify(ds_hr)
+
+            pred_profile = lr_hat.astype(np.float32) - ds_hr.astype(np.float32)
+            target_profile = lr.astype(np.float32) - ds_hr.astype(np.float32)
+
+            bins = np.arange(-256, 256)
+            pred_dist, _ = np.histogram(pred_profile.flatten(), bins)
+            target_dist, _ = np.histogram(target_profile.flatten(), bins)
+
+            dist_error = np.mean((target_dist - pred_dist) ** 2) / (lr.shape[-1] ** 2)
+            value_error = abs(target_profile.mean() - pred_profile.mean())
+            metrics.append(dist_error + value_error)
+        return sum(metrics) / len(metrics)

@@ -1,0 +1,74 @@
+"""Prediction tests (reference-style: tests/test_predict.py) plus sheet
+reassembly round-trip coverage."""
+
+import numpy as np
+
+from pssr2_tpu.data import ImageDataset, SlidingDataset, preprocess_dataset
+from pssr2_tpu.data import tiff
+from pssr2_tpu.models import ResUNet
+from pssr2_tpu.predict import predict_collage, predict_images
+from pssr2_tpu.predict import test_metrics as compute_metrics  # aliased: pytest would collect the API name
+from pssr2_tpu.util import reassemble_sheets
+
+from _util import get_shape, make_tifs
+
+HR = 128
+SMALL = dict(hidden=[8, 16], depth=1)
+
+
+def _dataset(tmp_path, **kwargs):
+    make_tifs(tmp_path / "images", get_shape(HR, batch=5))
+    return ImageDataset(tmp_path / "images", hr_res=HR, val_split=1, **kwargs)
+
+
+def test_predict_images(tmp_path):
+    dataset = _dataset(tmp_path)
+    model = ResUNet(**SMALL)
+
+    predict_images(model, dataset, out_dir=tmp_path / "out")
+    assert len(list((tmp_path / "out").glob("*.tif"))) == 5
+    out = tiff.imread(sorted((tmp_path / "out").glob("*.tif"))[0])
+    assert out.shape[-1] == HR
+
+    predict_images(model, dataset, out_dir=tmp_path / "out_norm", norm=True)
+    outs = predict_images(model, dataset, out_dir=None, batch_size=2)
+    assert len(outs) == 5
+
+
+def test_predict_collage(tmp_path):
+    dataset = _dataset(tmp_path)
+    model = ResUNet(**SMALL)
+    predict_collage(model, dataset, out_dir=str(tmp_path))
+    predict_collage(model, dataset, out_dir=str(tmp_path), norm=True)
+    assert list(tmp_path.glob("collage_*.png"))
+
+
+def test_compute_metrics(tmp_path):
+    dataset = _dataset(tmp_path)
+    model = ResUNet(**SMALL)
+
+    out = compute_metrics(model, dataset)
+    assert len(out) == 4
+    assert all(np.isfinite(v) for v in out.values())
+
+    compute_metrics(model, dataset, norm=True)
+    raw = compute_metrics(model, dataset, avg=False)
+    assert len(raw["psnr"]) == 5  # every val index evaluated (ref bug fixed)
+
+
+def test_reassemble_roundtrip(tmp_path):
+    # sheet -> sliding tiles -> "predicted" (= LR tiles) -> reassembled sheet
+    rng = np.random.default_rng(0)
+    sheet = (rng.random((256, 256)) * 255).astype(np.uint8)
+    (tmp_path / "sheets").mkdir()
+    tiff.imwrite(tmp_path / "sheets" / "sheet.tif", sheet)
+
+    dataset = SlidingDataset(
+        tmp_path / "sheets", hr_res=128, lr_scale=-1, overlap=64, extension="tif", preload=False, val_split=1
+    )
+    preds = {dataset._get_name(i): dataset[i].astype(np.uint8) for i in range(len(dataset))}
+    outs = reassemble_sheets(preds, str(tmp_path / "sheets"), lr_scale=1, overlap=64, margin=16, out_dir=None)
+    assert len(outs) == 1
+    assert outs[0].squeeze().shape == sheet.shape
+    # overlap-averaged reassembly of exact tiles reproduces the sheet
+    np.testing.assert_allclose(outs[0].squeeze().astype(np.float32), sheet.astype(np.float32), atol=1.0)
