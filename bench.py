@@ -66,6 +66,15 @@ def _time_steps(fn, n_warmup=3, n_steps=10):
 def main():
     import jax
 
+    # persistent compilation cache: first compile through the remote TPU
+    # service is minutes; repeat bench runs should not pay it again
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     batch_size = int(os.environ.get("BENCH_BATCH", 16))
     hr_res = int(os.environ.get("BENCH_HR", 512))
     lr_scale = 4

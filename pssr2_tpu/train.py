@@ -287,6 +287,9 @@ def train_paired(
             loss, metrics, tensors = train_step(
                 model, optimizer, batch, extra, step_key, optim.lr, n_valid, with_metrics
             )
+            # exposed in locals() for GUI/monitoring callbacks (lazy device
+            # arrays; no sync unless a callback materializes them)
+            lr, hr_hat, hr = tensors
 
             if with_metrics:
                 train_losses.append(float(loss))
