@@ -21,8 +21,14 @@ from .ops.metrics import ssim_np
 from .util import _get_callbacks, normalize_preds, pixel_metric
 
 
-def _eval_forward(model):
-    """Build a jitted eval forward over the model's functional state."""
+def _eval_forward(model, mesh=None, batch_pad: int = None):
+    """Build a jitted eval forward over the model's functional state.
+
+    With a mesh, inference batches are padded to a static size, sharded over
+    the ``data`` axis (tile-sharded inference across chips for sliding
+    datasets — the TPU analog of the reference's host-side tiling,
+    SURVEY.md §5 long-context row), and outputs sliced back.
+    """
     model.eval()
     graphdef, state = nnx.split(model)
 
@@ -31,7 +37,24 @@ def _eval_forward(model):
         m = nnx.merge(graphdef, state)
         return m(lr)
 
-    return lambda lr: forward(state, lr)
+    if mesh is None:
+        return lambda lr: forward(state, lr)
+
+    from .parallel.mesh import batch_sharding, replicated_sharding
+
+    state = jax.device_put(state, replicated_sharding(mesh))
+    n_dev = mesh.devices.size
+    shard = batch_sharding(mesh)
+
+    def sharded_forward(lr):
+        n = lr.shape[0]
+        pad_to = batch_pad or max(n_dev, ((n + n_dev - 1) // n_dev) * n_dev)
+        if n < pad_to:
+            lr = np.concatenate([lr, np.repeat(lr[-1:], pad_to - n, axis=0)])
+        out = forward(state, jax.device_put(lr, shard))
+        return out[:n]
+
+    return sharded_forward
 
 
 def _pred_array(data, n_frames=1):
@@ -49,6 +72,7 @@ def predict_images(
     prefix: str = None,
     dataloader_kwargs=None,
     callbacks=None,
+    mesh=None,
 ):
     """Predicts high-resolution images from low-resolution images
     (reference: pssr/predict.py:11-83; same output naming/layout).
@@ -73,6 +97,9 @@ def predict_images(
         prefix (str) : Output file name prefix.
 
         dataloader_kwargs, callbacks : reference-compatible extras.
+
+        mesh : Optional ``jax.sharding.Mesh`` — shards inference batches
+            (e.g. sliding-window tiles) over the ``data`` axis.
     """
     batch_size = 1 if batch_size is None else batch_size
     if norm and dataset.is_lr:
@@ -81,7 +108,7 @@ def predict_images(
         os.makedirs(out_dir, exist_ok=True)
 
     callbacks, callback_locals = _get_callbacks(callbacks)
-    forward = _eval_forward(model)
+    forward = _eval_forward(model, mesh=mesh, batch_pad=batch_size if mesh is not None else None)
 
     from .data import tiff
 

@@ -72,3 +72,12 @@ def test_reassemble_roundtrip(tmp_path):
     assert outs[0].squeeze().shape == sheet.shape
     # overlap-averaged reassembly of exact tiles reproduces the sheet
     np.testing.assert_allclose(outs[0].squeeze().astype(np.float32), sheet.astype(np.float32), atol=1.0)
+
+
+def test_predict_images_mesh(tmp_path):
+    from pssr2_tpu.parallel import data_mesh
+
+    dataset = _dataset(tmp_path)
+    model = ResUNet(**SMALL)
+    outs = predict_images(model, dataset, out_dir=None, batch_size=4, mesh=data_mesh())
+    assert len(outs) == 5
