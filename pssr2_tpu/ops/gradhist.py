@@ -30,3 +30,15 @@ class GradHist:
         lower = jnp.concatenate([s, jnp.zeros((batch, 1, size), s.dtype)], axis=1)
         diff = (upper - lower).sum(axis=-1)  # (B, bins+1)
         return diff[:, :-1]
+
+
+def make_gradhist(bins: int = 512, range=(-256, 256), sigma: float = 5.0):
+    """Best available GradHist: the streaming Pallas kernel on TPU (O(B*bins)
+    live memory), the XLA formulation elsewhere."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from .pallas.gradhist import GradHistPallas
+
+        return GradHistPallas(bins, range, sigma)
+    return GradHist(bins, range, sigma)

@@ -80,4 +80,6 @@ def resize_bilinear_np(image: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         return image.astype(np.float32)
     wh = _resize_weights(in_h, out_h)
     ww = _resize_weights(in_w, out_w)
-    return np.einsum("...hw,hi,wj->...ij", image.astype(np.float32), wh, ww)
+    # optimize=True: force pairwise matmul contraction (naive einsum is
+    # O(H*W*out_h*out_w))
+    return np.einsum("...hw,hi,wj->...ij", image.astype(np.float32), wh, ww, optimize=True)

@@ -35,7 +35,7 @@ from tqdm import tqdm
 from .checkpoint import save_weights
 from .data.indexing import RandomIterIdx, invert_idx
 from .data.pipeline import PatchLoader, make_device_gen_pair, prefetch_to_device
-from .ops.gradhist import GradHist
+from .ops.gradhist import make_gradhist
 from .ops.ssim import ssim as jssim
 from .optim import ReduceLROnPlateau
 from .parallel.mesh import batch_sharding, replicated_sharding
@@ -384,7 +384,7 @@ def train_crappifier(
     val_loader = _PairBatchLoader(dataset, val_sampler, batch_size, num_workers)
     include_metric = isinstance(scheduler, ReduceLROnPlateau)
 
-    hist_fn = GradHist(sigma=sigma)
+    hist_fn = make_gradhist(sigma=sigma)
     ssim_loss = SSIMLoss(ms=False)
     optimizer = nnx.Optimizer(model, optim.tx, wrt=nnx.Param)
 

@@ -129,3 +129,17 @@ def test_gradhist_matches_hard_histogram():
     # and is differentiable
     grad = jax.grad(lambda v: gh(v).sum())(jnp.asarray(x))
     assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_gradhist_pallas_matches_xla():
+    from pssr2_tpu.ops.pallas.gradhist import GradHistPallas
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(0, 30, (2, 1, 40, 40)).astype(np.float32))
+    ref = GradHist(sigma=5)
+    pal = GradHistPallas(sigma=5, interpret=True)
+    np.testing.assert_allclose(np.asarray(pal(x)), np.asarray(ref(x)), atol=1e-3)
+
+    g_ref = jax.grad(lambda v: (ref(v) ** 2).sum())(x)
+    g_pal = jax.grad(lambda v: (pal(v) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), atol=1e-2)
