@@ -390,6 +390,43 @@ class SlidingDataset(_DatasetBase):
         )
         return np.ascontiguousarray(hr).astype(np.uint8)
 
+    def hr_patch_batch(self, indices):
+        """Batched tile gather through the native C++ extractor when sheets
+        are preloaded uint8 — the PatchLoader hot path.  Falls back to
+        per-index :meth:`hr_patch`."""
+        from . import native
+        from .indexing import n_tiles as _n_tiles
+
+        if not self.preload or native.get_lib() is None:
+            return None
+        frames = max(self.n_frames) if self.n_frames is not None else None
+        per_sheet = {}
+        for pos, flat_idx in enumerate(indices):
+            image_idx, idx = get_image_idx(flat_idx, self.slices, self.tiles)
+            sheet = self.preload[image_idx]
+            if sheet.dtype != np.uint8:
+                return None
+            n_slices = self.slices[image_idx]
+            _, tiles_y = _n_tiles(sheet.shape, self.hr_res, self.stride)
+            tile_idx = idx // n_slices
+            y0 = tile_idx // tiles_y * self.stride
+            x0 = tile_idx % tiles_y * self.stride
+            res = idx % n_slices
+            f0 = res if self.slide else res * (frames or 0)
+            nf = frames if frames is not None else sheet.shape[0]
+            per_sheet.setdefault(image_idx, []).append((pos, (f0 if frames is not None else 0, y0, x0), nf))
+
+        nf0 = next(iter(per_sheet.values()))[0][2]
+        out = np.empty((len(indices), nf0, self.hr_res, self.hr_res), dtype=np.uint8)
+        for image_idx, entries in per_sheet.items():
+            coords = np.asarray([c for _, c, _ in entries], dtype=np.int64)
+            tiles = native.extract_tiles(self.preload[image_idx], coords, frames=nf0, size=self.hr_res)
+            if tiles is None:
+                return None
+            for (pos, _, _), tile in zip(entries, tiles):
+                out[pos] = tile
+        return out
+
     def __len__(self):
         return sum(self.tiles[idx] * self.slices[idx] for idx in range(len(self.hr_files)))
 

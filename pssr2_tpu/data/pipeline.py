@@ -99,18 +99,37 @@ class PatchLoader:
 
     def __iter__(self):
         order = list(self.sampler)
+        batch_fn = getattr(self.dataset, "hr_patch_batch", None)
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             # pipeline two batches ahead
             pending = []
             for start in range(0, len(order), self.batch_size):
                 idx = order[start : start + self.batch_size]
-                pending.append((pool.map(self.dataset.hr_patch, idx), len(idx)))
+                if batch_fn is not None:
+                    # native parallel tile gather (preloaded sliding sheets)
+                    fut = pool.submit(self._load_batch, batch_fn, idx)
+                    pending.append((fut, len(idx)))
+                else:
+                    pending.append((pool.map(self.dataset.hr_patch, idx), len(idx)))
                 if len(pending) > 2:
                     yield self._finalize(*pending.pop(0))
             while pending:
                 yield self._finalize(*pending.pop(0))
 
+    def _load_batch(self, batch_fn, idx):
+        batch = batch_fn(idx)
+        if batch is not None:
+            return batch
+        return [self.dataset.hr_patch(i) for i in idx]
+
     def _finalize(self, patches, n_valid):
+        if hasattr(patches, "result"):  # Future from the batched gather path
+            patches = patches.result()
+        if isinstance(patches, np.ndarray):
+            if len(patches) < self.pad_to:
+                pad = np.repeat(patches[-1:], self.pad_to - len(patches), axis=0)
+                patches = np.concatenate([patches, pad])
+            return patches, n_valid
         patches = list(patches)
         while len(patches) < self.pad_to:
             patches.append(patches[-1])

@@ -73,7 +73,15 @@ def _decode_page(data, tags, endian):
 
 
 def imread(path) -> np.ndarray:
-    """Read a (possibly multi-page) TIFF into a 2-D or 3-D numpy array."""
+    """Read a (possibly multi-page) TIFF into a 2-D or 3-D numpy array.
+
+    Order of attempts: native C++ codec (fast path, incl. LZW/PackBits) ->
+    pure-Python strip reader -> PIL."""
+    from . import native
+
+    arr = native.decode(path)
+    if arr is not None:
+        return arr
     with open(path, "rb") as f:
         data = f.read()
     if data[:2] == b"II":
@@ -117,6 +125,12 @@ def num_pages_and_size(path):
     Replaces the reference's per-file PIL open pass at dataset init
     (reference: pssr/data.py:70-74) with a tag-only scan.
     """
+    from . import native
+
+    meta = native.probe(path)
+    if meta is not None:
+        n_pages, size, _ = meta
+        return n_pages, size
     with open(path, "rb") as f:
         data = f.read(8)
         endian = "<" if data[:2] == b"II" else ">"
@@ -135,6 +149,12 @@ def num_pages_and_size(path):
 def imwrite(path, image: np.ndarray):
     """Write a 2-D plane or 3-D stack as uncompressed little-endian TIFF."""
     image = np.asarray(image)
+    if image.dtype == np.float64:
+        image = image.astype(np.float32)
+    from . import native
+
+    if native.encode(path, image):
+        return
     if image.ndim == 2:
         planes = image[np.newaxis]
     elif image.ndim == 3:

@@ -216,3 +216,61 @@ def test_extra_path(tmp_path):
     dataset = ImageDataset(tmp_path / "images", extra_path=tmp_path / "images")
     (hr, lr), extra = dataset[0]
     assert extra.shape == hr.shape
+
+
+def test_native_codec(tmp_path):
+    from pssr2_tpu.data import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+
+    # encode/decode round trip per dtype
+    for dtype in [np.uint8, np.uint16, np.float32]:
+        arr = (np.random.rand(3, 40, 56) * 255).astype(dtype)
+        assert native.encode(tmp_path / "n.tif", arr)
+        back = native.decode(tmp_path / "n.tif")
+        np.testing.assert_array_equal(back, arr)
+        pages, size, dt = native.probe(tmp_path / "n.tif")
+        assert (pages, size, dt) == (3, (40, 56), dtype)
+
+    # interop: native reads python-written, python reads native-written
+    arr = (np.random.rand(32, 32) * 255).astype(np.uint8)
+    tiff.imwrite(tmp_path / "p.tif", arr)
+    np.testing.assert_array_equal(native.decode(tmp_path / "p.tif"), arr)
+
+    # PIL-written LZW-compressed file decodes through the native codec
+    from PIL import Image
+
+    try:
+        Image.fromarray(arr).save(tmp_path / "lzw.tif", compression="tiff_lzw")
+    except Exception:
+        pass
+    else:
+        np.testing.assert_array_equal(tiff.imread(tmp_path / "lzw.tif"), arr)
+
+    # parallel tile extraction matches numpy slicing
+    sheet = (np.random.rand(4, 128, 128) * 255).astype(np.uint8)
+    coords = np.array([[0, 0, 0], [2, 64, 64], [0, 32, 96]], dtype=np.int64)
+    tiles = native.extract_tiles(sheet, coords, frames=2, size=32)
+    assert tiles.shape == (3, 2, 32, 32)
+    for t, (f0, y0, x0) in enumerate(coords):
+        np.testing.assert_array_equal(tiles[t], sheet[f0 : f0 + 2, y0 : y0 + 32, x0 : x0 + 32])
+
+
+def test_sliding_hr_patch_batch_matches_scalar(tmp_path):
+    from pssr2_tpu.data import native
+
+    make_tifs(tmp_path / "sheets", get_shape(HR_RES * TILE_MULT, batch=2, channels=4))
+    dataset = SlidingDataset(
+        tmp_path / "sheets", n_frames=2, extension="tif", overlap=64, preload=True, rotation=False
+    )
+    indices = list(range(len(dataset)))
+    batch = dataset.hr_patch_batch(indices)
+    if batch is None:
+        import pytest
+
+        pytest.skip("native extractor unavailable")
+    for pos, idx in enumerate(indices):
+        np.testing.assert_array_equal(batch[pos], dataset.hr_patch(idx))
