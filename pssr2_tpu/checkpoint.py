@@ -86,3 +86,56 @@ def load_train_state(directory, model: nnx.Module, opt_state=None, step: int = N
     nnx.replace_by_pure_dict(state, restored["model"])
     nnx.update(model, state)
     return model, restored.get("opt_state", opt_state), restored["step"]
+
+
+def save_full_state(directory, model: nnx.Module, optimizer, epoch: int):
+    """Fault-tolerance checkpoint: model + optimizer state + completed-epoch
+    counter (consumed by train_paired's state_dir resume)."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    os.makedirs(directory, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "model": jax.tree.map(np.asarray, nnx.to_pure_dict(nnx.state(model))),
+        "opt": jax.tree.map(np.asarray, nnx.to_pure_dict(nnx.state(optimizer))),
+        "epoch": epoch,
+    }
+    ckptr.save(directory / f"epoch_{epoch}", payload, force=True)
+    ckptr.wait_until_finished()
+    # prune older epochs (keep latest two)
+    import shutil
+
+    epochs = sorted(
+        int(p.name.split("_")[1]) for p in directory.iterdir() if p.name.startswith("epoch_")
+    )
+    for old in epochs[:-2]:
+        shutil.rmtree(directory / f"epoch_{old}", ignore_errors=True)
+
+
+def load_full_state(directory, model: nnx.Module, optimizer) -> int:
+    """Restore the latest fault-tolerance checkpoint; returns the epoch to
+    resume from (0 when no checkpoint exists)."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    if not directory.exists():
+        return 0
+    epochs = sorted(
+        int(p.name.split("_")[1]) for p in directory.iterdir() if p.name.startswith("epoch_")
+    )
+    if not epochs:
+        return 0
+    epoch = epochs[-1]
+    ckptr = ocp.StandardCheckpointer()
+    target = {
+        "model": nnx.to_pure_dict(nnx.state(model)),
+        "opt": nnx.to_pure_dict(nnx.state(optimizer)),
+        "epoch": epoch,
+    }
+    restored = ckptr.restore(directory / f"epoch_{epoch}", target)
+    for node, key in ((model, "model"), (optimizer, "opt")):
+        state = nnx.state(node)
+        nnx.replace_by_pure_dict(state, restored[key])
+        nnx.update(node, state)
+    return int(restored["epoch"])

@@ -174,6 +174,7 @@ def train_paired(
     callbacks=None,
     mesh=None,
     seed: int = 0,
+    state_dir: str = None,
 ):
     """Trains model on paired high-low-resolution crappified data
     (reference: pssr/train.py:19-166; same control surface).
@@ -214,6 +215,12 @@ def train_paired(
             multi-chip data parallelism.
 
         seed (int) : RNG seed for on-device augmentation/crappification.
+
+        state_dir (str) : Fault-tolerance directory.  When set, the FULL
+            train state (params + optimizer + epoch) is checkpointed each
+            epoch via orbax, training auto-resumes from the latest epoch on
+            restart, and a SIGTERM triggers a graceful save before exit —
+            recovery the reference lacks (SURVEY.md §5: crash = lost epoch).
 
     Returns:
         train_losses (list[float]), val_losses (list[float])
@@ -259,9 +266,31 @@ def train_paired(
 
     train_step, val_step = _build_paired_steps(loss_fn, clamp, gen_pair)
 
+    # Fault tolerance: epoch-level resumable state + graceful SIGTERM save
+    start_epoch = 0
+    term_flag = {"set": False}
+    if state_dir:
+        import signal
+
+        from .checkpoint import load_full_state, save_full_state
+
+        start_epoch = load_full_state(state_dir, model, optimizer)
+        if start_epoch:
+            print(f"Resuming training from epoch {start_epoch} ({state_dir}).")
+
+        def _on_term(signum, frame):
+            term_flag["set"] = True
+
+        try:
+            signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:
+            pass  # not the main thread (e.g. GUI worker)
+
     key = jax.random.key(seed)
     train_losses, val_losses = [], []
     last_full, last_full_val = None, None
+
+    epoch_range = range(start_epoch, epochs)
 
     def _wrap_batches(loader):
         if use_device_pipe:
@@ -275,7 +304,7 @@ def train_paired(
                     extra = jax.device_put(extra, data_shard) if extra is not None else None
                 yield (hr, lr), extra, n_valid
 
-    for epoch in range(epochs):
+    for epoch in epoch_range:
         model.train()
         print(f"Epoch {epoch}:")
         n_batches = len(train_loader)
@@ -309,6 +338,13 @@ def train_paired(
                 else:
                     callback()
 
+            if term_flag["set"]:
+                from .checkpoint import save_full_state
+
+                save_full_state(state_dir, model, optimizer, epoch)
+                print(f"SIGTERM: saved train state at epoch {epoch} to {state_dir}; exiting.")
+                raise SystemExit(0)
+
         # Validation (seeded sampler order; reference: pssr/train.py:121-148)
         model.eval()
         print(f"Epoch {epoch} validation...")
@@ -325,6 +361,11 @@ def train_paired(
         val_loss = sum(val_loss) / len(val_loss)
         val_losses.append(val_loss)
         print(f"Epoch {epoch} validation loss: {val_loss:4f}\n")
+
+        if state_dir:
+            from .checkpoint import save_full_state
+
+            save_full_state(state_dir, model, optimizer, epoch + 1)
 
         if checkpoint_dir and epoch < epochs - 1:
             os.makedirs(checkpoint_dir, exist_ok=True)

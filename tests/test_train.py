@@ -92,3 +92,24 @@ def test_train_crappifier(tmp_path):
     losses = train_crappifier(model, dataset, batch_size=2, optim=AdamW(1e-4), epochs=1)
     assert len(losses) == 2
     assert all(np.isfinite(v) for v in losses[0])
+
+
+def test_train_state_dir_resume(tmp_path):
+    dataset = _dataset(tmp_path)
+    model = ResUNet(**SMALL)
+    optim = AdamW(1e-3)
+    state_dir = tmp_path / "state"
+    train_paired(model, dataset, batch_size=2, loss_fn=MSELoss(), optim=optim, epochs=1, state_dir=str(state_dir))
+    assert list(state_dir.glob("epoch_*"))
+
+    # resuming with epochs=1 must skip training entirely (epoch 0 done)
+    model2 = ResUNet(**SMALL)
+    losses = train_paired(model2, dataset, batch_size=2, loss_fn=MSELoss(), optim=AdamW(1e-3), epochs=1, state_dir=str(state_dir))
+    assert losses == ([], [])
+
+    # and epochs=2 resumes at epoch 1
+    model3 = ResUNet(**SMALL)
+    train_losses, val_losses = train_paired(
+        model3, dataset, batch_size=2, loss_fn=MSELoss(), optim=AdamW(1e-3), epochs=2, state_dir=str(state_dir)
+    )
+    assert len(val_losses) == 1
