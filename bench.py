@@ -50,17 +50,23 @@ def _build(batch_size, hr_res, lr_scale, dtype=None):
     return model, optimizer, optim, fused_step, host_step
 
 
-def _time_steps(fn, n_warmup=3, n_steps=10):
+def _time_steps(fn, n_warmup=3, n_steps=8, n_trials=5):
+    """Median-of-trials steps/sec (the remote TPU service is noisy)."""
+    import statistics
+
     import jax
 
     for _ in range(n_warmup):
         out = fn()
     jax.block_until_ready(out)
-    start = time.perf_counter()
-    for _ in range(n_steps):
-        out = fn()
-    jax.block_until_ready(out)
-    return n_steps / (time.perf_counter() - start)
+    rates = []
+    for _ in range(n_trials):
+        start = time.perf_counter()
+        for _ in range(n_steps):
+            out = fn()
+        jax.block_until_ready(out)
+        rates.append(n_steps / (time.perf_counter() - start))
+    return statistics.median(rates)
 
 
 def main():
@@ -78,8 +84,9 @@ def main():
     batch_size = int(os.environ.get("BENCH_BATCH", 16))
     hr_res = int(os.environ.get("BENCH_HR", 512))
     lr_scale = 4
-    n_steps = int(os.environ.get("BENCH_STEPS", 10))
-    use_bf16 = os.environ.get("BENCH_BF16", "1") != "0"
+    # f32 measured equal-or-faster than bf16 on v5e for this model (the
+    # step is not MXU-bound) and matches reference numerics exactly
+    use_bf16 = os.environ.get("BENCH_BF16", "0") != "0"
 
     import jax.numpy as jnp
 
@@ -95,7 +102,7 @@ def main():
         loss, _, _ = fused_step(model, optimizer, hr_u8, None, key, optim.lr, batch_size, False)
         return loss
 
-    fused_sps = _time_steps(run_fused, n_steps=n_steps)
+    fused_sps = _time_steps(run_fused)
     fused_pps = fused_sps * batch_size
 
     # Reference-architecture pipeline: host numpy crappification + PIL-style
@@ -113,7 +120,7 @@ def main():
         loss, _, _ = host_step(model, optimizer, (jnp.asarray(hr_np), jnp.asarray(lr)), None, key, optim.lr, batch_size, False)
         return loss
 
-    host_sps = _time_steps(run_host, n_warmup=2, n_steps=max(4, n_steps // 2))
+    host_sps = _time_steps(run_host, n_warmup=2, n_steps=4, n_trials=3)
     host_pps = host_sps * batch_size
 
     print(
