@@ -29,6 +29,9 @@ def _parse_subblock(payload):
     if schema != b"DV":
         raise NotImplementedError(f"czi: unsupported directory entry schema {schema!r}")
     pixel_type, file_pos, file_part, compression = struct.unpack_from("<iqii", payload, 18)
+    pyramid_type = payload[38]
+    if pyramid_type != 0:
+        return None, None  # pyramid (downsampled) level: skip
     # pyramid byte + 5 spare bytes at 38..43
     (dim_count,) = struct.unpack_from("<i", payload, 44)
     dims = []
@@ -62,7 +65,9 @@ def read_czi(path):
         alloc, _used = struct.unpack_from("<qq", raw, pos + 16)
         payload = raw[pos + 32 : pos + 32 + alloc]
         if seg_id == "ZISRAWSUBBLOCK":
-            subblocks.append(_parse_subblock(payload))
+            dims, data = _parse_subblock(payload)
+            if dims is not None:
+                subblocks.append((dims, data))
         pos += 32 + alloc
     if not subblocks:
         raise ValueError(f"{path}: no subblocks found")

@@ -24,6 +24,20 @@ def data_mesh(n_devices: int = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("data",))
 
 
+def data_model_mesh(model_parallel: int = 1, devices=None) -> Mesh:
+    """2-D (data, model) mesh.  The ``model`` axis is laid out for future
+    tensor-parallel sharding rules (SURVEY.md §2.4: not needed at <100M
+    params, but the mesh shape shouldn't have to change to add it).  With
+    ``model_parallel=1`` this behaves exactly like :func:`data_mesh`."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"model_parallel {model_parallel} must divide device count {n}.")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, ("data", "model"))
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch onto the mesh, sharded over the leading axis."""
     sharding = NamedSharding(mesh, P("data"))
