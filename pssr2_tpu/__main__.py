@@ -146,6 +146,12 @@ def pssr_head(
         from .parallel import data_mesh
 
         mesh = data_mesh(n_devices)
+        if train and batch_size % mesh.devices.size != 0:
+            print(
+                f"Batch size {batch_size} is not divisible by the {mesh.devices.size}-device "
+                "mesh; running single-device. Pass a divisible batch size to scale."
+            )
+            mesh = None
 
     if train:
         func = lambda: _train_meta(
