@@ -230,10 +230,12 @@ def train_paired(
     callbacks, callback_locals = _get_callbacks(callbacks)
     image_range = IMAGE_RANGE
 
-    if mesh is not None and batch_size % mesh.devices.size != 0:
-        raise ValueError(
-            f"batch_size {batch_size} must be divisible by mesh size {mesh.devices.size}."
-        )
+    if mesh is not None:
+        data_size = dict(mesh.shape).get("data", mesh.devices.size)
+        if batch_size % data_size != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by the data-axis size {data_size}."
+            )
 
     use_device_pipe = _use_device_pipeline(dataset)
     gen_pair = None

@@ -87,3 +87,45 @@ def test_cli_train_and_predict(tmp_path, monkeypatch):
     )
     main()
     assert list((tmp_path / "preds").glob("*.tif"))
+
+
+def test_mesh_matches_single_device(tmp_path):
+    """Data-parallel training computes the same math as single-device
+    (global-batch BatchNorm stats, psum-reduced grads): loss sequences must
+    agree to float tolerance."""
+    from pssr2_tpu.parallel import data_mesh
+
+    np.random.seed(5)
+    dataset = _dataset(tmp_path, n=8)
+
+    def run(mesh):
+        import random
+
+        random.seed(3)
+        np.random.seed(3)
+        model = ResUNet(hidden=[8, 16], depth=1)
+        losses, val = train_paired(
+            model, dataset, batch_size=8, loss_fn=MSELoss(), optim=AdamW(1e-3), epochs=1,
+            log_frequency=1, seed=11, mesh=mesh,
+        )
+        return losses, val
+
+    a_losses, a_val = run(None)
+    b_losses, b_val = run(data_mesh())
+    np.testing.assert_allclose(a_losses, b_losses, rtol=2e-4)
+    np.testing.assert_allclose(a_val, b_val, rtol=2e-4)
+
+
+def test_2d_mesh_train(tmp_path):
+    """(data, model) mesh with a trivial model axis trains correctly — the
+    layout TP rules will extend."""
+    from pssr2_tpu.parallel.mesh import data_model_mesh
+
+    dataset = _dataset(tmp_path, n=8)
+    model = ResUNet(hidden=[8, 16], depth=1)
+    mesh = data_model_mesh(model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    losses, _ = train_paired(
+        model, dataset, batch_size=4, loss_fn=MSELoss(), optim=AdamW(1e-3), epochs=1, mesh=mesh
+    )
+    assert all(np.isfinite(v) for v in losses)
