@@ -13,6 +13,9 @@ is how the reference structures its data path (pssr/train.py:75-76,
 pssr/data.py:471-495).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+``BENCH_MODE=infer`` instead measures tiled-inference throughput
+(tiles/sec, SlidingDataset-shaped 128->512 tiles) against the same
+host-pipeline baseline.
 """
 
 import json
@@ -69,8 +72,58 @@ def _time_steps(fn, n_warmup=3, n_steps=8, n_trials=5):
     return statistics.median(rates)
 
 
+def infer_main():
+    """BENCH_MODE=infer: tiled-inference tiles/sec (batched jitted eval
+    forward on 128->512 tiles; the SlidingDataset prediction hot path)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from pssr2_tpu.models import ResUNet
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    batch_size = int(os.environ.get("BENCH_BATCH", 16))
+    lr_res = 128
+
+    model = ResUNet()
+    model.eval()
+    graphdef, state = nnx.split(model)
+    forward = jax.jit(lambda s, x: nnx.merge(graphdef, s)(x))
+
+    rng = np.random.default_rng(0)
+    lr = jnp.asarray(rng.random((batch_size, 1, lr_res, lr_res)).astype(np.float32) * 255)
+
+    batched_sps = _time_steps(lambda: forward(state, lr))
+    batched_tps = batched_sps * batch_size
+
+    # reference-architecture baseline: per-tile (batch 1) eval, the
+    # reference's default predict path (pssr/predict.py:39 batch_size None=1)
+    lr1 = lr[:1]
+    single_sps = _time_steps(lambda: forward(state, lr1), n_trials=3)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"tiled inference, ResUNet x4 {lr_res}->{lr_res*4} (batch {batch_size})",
+                "value": round(batched_tps, 2),
+                "unit": "tiles/sec/chip",
+                "vs_baseline": round(batched_tps / single_sps, 2),
+            }
+        )
+    )
+
+
 def main():
     import jax
+
+    if os.environ.get("BENCH_MODE") == "infer":
+        return infer_main()
 
     # persistent compilation cache: first compile through the remote TPU
     # service is minutes; repeat bench runs should not pay it again

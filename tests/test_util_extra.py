@@ -114,3 +114,25 @@ def test_declaration_parser():
     ]:
         with pytest.raises((ValueError, SyntaxError)):
             parse_declaration(evil)
+
+
+def test_step_timer():
+    import time
+
+    from pssr2_tpu.profiler import StepTimer
+
+    timer = StepTimer(warmup=0)
+    for _ in range(4):
+        timer({"n_valid": 8})
+        time.sleep(0.01)
+    s = timer.summary()
+    assert s["steps"] == 3
+    assert s["patches_per_sec"] > 0
+    assert s["mean_step_ms"] >= 10
+
+
+def test_local_batch_slice():
+    from pssr2_tpu.parallel.distributed import local_batch_slice
+
+    start, stop = local_batch_slice(32)
+    assert (start, stop) == (0, 32)  # single-process
