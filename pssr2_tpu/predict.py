@@ -48,7 +48,8 @@ def _eval_forward(model, mesh=None, batch_pad: int = None):
 
     def sharded_forward(lr):
         n = lr.shape[0]
-        pad_to = batch_pad or max(n_dev, ((n + n_dev - 1) // n_dev) * n_dev)
+        pad_to = max(batch_pad or 0, n, 1)
+        pad_to = ((pad_to + n_dev - 1) // n_dev) * n_dev  # divisible by mesh
         if n < pad_to:
             lr = np.concatenate([lr, np.repeat(lr[-1:], pad_to - n, axis=0)])
         out = forward(state, jax.device_put(lr, shard))
