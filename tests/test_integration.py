@@ -129,3 +129,28 @@ def test_2d_mesh_train(tmp_path):
         model, dataset, batch_size=4, loss_fn=MSELoss(), optim=AdamW(1e-3), epochs=1, mesh=mesh
     )
     assert all(np.isfinite(v) for v in losses)
+
+
+def test_spatial_parallel_sheet_matches_full_forward(tmp_path):
+    """Halo-exchange sheet sharding must equal the unsharded forward exactly
+    (halo >= receptive field of the small model)."""
+    from pssr2_tpu.parallel import data_mesh
+    from pssr2_tpu.parallel.spatial import predict_sheet
+
+    rng = np.random.default_rng(0)
+    sheet = (rng.random((1, 512, 96)) * 255).astype(np.float32)
+
+    model = ResUNet(hidden=[8, 16], depth=1)
+    model.eval()
+
+    import jax.numpy as jnp
+
+    full = np.asarray(model(jnp.asarray(sheet)[None]))[0]
+    sharded = predict_sheet(model, sheet, data_mesh(), halo=32)
+    assert sharded.shape == full.shape == (1, 2048, 384)
+    # interior is exact (no seams at the 7 shard boundaries); the outer
+    # halo*scale rows differ by design: sheet borders get reflect context
+    # instead of the conv zero padding of the unsharded forward
+    m = 32 * 4
+    np.testing.assert_allclose(sharded[:, m:-m], full[:, m:-m], atol=2e-2)
+    assert np.abs(sharded - full).mean() < 0.5
