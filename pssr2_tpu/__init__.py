@@ -18,13 +18,23 @@ from .crappifiers import (
 )
 
 __all__ = [
+    "__version__",
+    "models",
+    "crappifiers",
+    "data",
+    "predict",
+    "train",
+    "util",
+    "ops",
+    "parallel",
+    "optim",
+    "checkpoint",
     "Crappifier",
     "MultiCrappifier",
     "AdditiveGaussian",
     "Poisson",
     "SaltPepper",
     "Blur",
-    "__version__",
 ]
 
 
