@@ -53,21 +53,27 @@ def _build(batch_size, hr_res, lr_scale, dtype=None):
     return model, optimizer, optim, fused_step, host_step
 
 
+def _sync(out):
+    """True device sync: fetch one scalar from the result.  (On the axon
+    remote platform jax.block_until_ready returns without waiting, so a
+    host fetch is the only honest synchronization; fetching a single
+    element keeps the transfer negligible.)"""
+    return float(out.reshape(-1)[0])
+
+
 def _time_steps(fn, n_warmup=3, n_steps=8, n_trials=5):
-    """Median-of-trials steps/sec (the remote TPU service is noisy)."""
+    """Median-of-trials steps/sec, synced by fetching the step's scalar
+    output (dispatches pipeline within a trial; the fetch drains the queue)."""
     import statistics
 
-    import jax
-
     for _ in range(n_warmup):
-        out = fn()
-    jax.block_until_ready(out)
+        _sync(fn())
     rates = []
     for _ in range(n_trials):
         start = time.perf_counter()
         for _ in range(n_steps):
             out = fn()
-        jax.block_until_ready(out)
+        _sync(out)
         rates.append(n_steps / (time.perf_counter() - start))
     return statistics.median(rates)
 
