@@ -274,3 +274,38 @@ def test_sliding_hr_patch_batch_matches_scalar(tmp_path):
         pytest.skip("native extractor unavailable")
     for pos, idx in enumerate(indices):
         np.testing.assert_array_equal(batch[pos], dataset.hr_patch(idx))
+
+
+def test_load_sheet_stack_modes(tmp_path):
+    # stack flattening order semantics for czi sheets (T=3, Z=2)
+    from pssr2_tpu.data.io import load_sheet
+
+    arr = np.zeros((3, 2, 1, 8, 8), dtype=np.uint8)
+    for t in range(3):
+        for z in range(2):
+            arr[t, z] = t * 10 + z
+    czi.write_czi(tmp_path / "s.czi", arr, "TZCYX")
+
+    tz = load_sheet(tmp_path, "s.czi", "TZ", "L")
+    assert tz.shape == (6, 8, 8)
+    # TZ: T-major flattening
+    ratio = 255 / 21  # sheets are max-normalized to uint8
+    np.testing.assert_allclose(tz[:, 0, 0], np.round(np.array([0, 1, 10, 11, 20, 21]) * ratio).astype(np.uint8), atol=1)
+
+    zt = load_sheet(tmp_path, "s.czi", "ZT", "L")
+    np.testing.assert_allclose(zt[:, 0, 0], np.round(np.array([0, 10, 20, 1, 11, 21]) * ratio).astype(np.uint8), atol=1)
+
+    t_only = load_sheet(tmp_path, "s.czi", "T", "L")
+    assert t_only.shape == (3, 8, 8)
+    z_only = load_sheet(tmp_path, "s.czi", "Z", "L")
+    assert z_only.shape == (2, 8, 8)
+
+
+def test_asymmetric_n_frames(tmp_path):
+    # 2.5-D: 3 HR frames supervised from 1 LR frame (n_frames=[lr, hr])
+    make_tifs(tmp_path / "mf", get_shape(HR_RES, batch=2, channels=6))
+    dataset = ImageDataset(tmp_path / "mf", n_frames=[1, 3])
+    assert len(dataset) == 2 * (6 // 3)
+    hr, lr = dataset[0]
+    assert hr.shape == (3, HR_RES, HR_RES)
+    assert lr.shape == (1, LR_RES, LR_RES)

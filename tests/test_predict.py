@@ -81,3 +81,22 @@ def test_predict_images_mesh(tmp_path):
     model = ResUNet(**SMALL)
     outs = predict_images(model, dataset, out_dir=None, batch_size=4, mesh=data_mesh())
     assert len(outs) == 5
+
+
+def test_reassemble_from_files(tmp_path):
+    # file-path variant of reassembly (predictions saved to disk first)
+    rng = np.random.default_rng(1)
+    sheet = (rng.random((256, 256)) * 255).astype(np.uint8)
+    (tmp_path / "sheets").mkdir()
+    tiff.imwrite(tmp_path / "sheets" / "sheet.tif", sheet)
+
+    dataset = SlidingDataset(
+        tmp_path / "sheets", hr_res=128, lr_scale=-1, overlap=64, extension="tif", preload=False, val_split=1
+    )
+    (tmp_path / "tiles").mkdir()
+    for i in range(len(dataset)):
+        tiff.imwrite(tmp_path / "tiles" / f"{dataset._get_name(i)}.tif", dataset[i].astype(np.uint8).squeeze())
+
+    reassemble_sheets(str(tmp_path / "tiles"), str(tmp_path / "sheets"), lr_scale=1, overlap=64, out_dir=str(tmp_path / "out"))
+    out = tiff.imread(tmp_path / "out" / "sheet.tif").squeeze()
+    np.testing.assert_allclose(out.astype(np.float32), sheet.astype(np.float32), atol=1.0)

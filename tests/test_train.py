@@ -113,3 +113,12 @@ def test_train_state_dir_resume(tmp_path):
         model3, dataset, batch_size=2, loss_fn=MSELoss(), optim=AdamW(1e-3), epochs=2, state_dir=str(state_dir)
     )
     assert len(val_losses) == 1
+
+
+def test_train_asymmetric_frames(tmp_path):
+    # multi-frame temporal-stack SR: 1 LR frame -> 3 HR frames
+    make_tifs(tmp_path / "mf", get_shape(HR, batch=4, channels=6))
+    dataset = ImageDataset(tmp_path / "mf", hr_res=HR, n_frames=[1, 3])
+    model = ResUNet(channels=[1, 3], **SMALL)
+    losses, _ = train_paired(model, dataset, batch_size=2, loss_fn=MSELoss(), optim=AdamW(1e-3), epochs=1)
+    assert all(np.isfinite(v) for v in losses)
