@@ -308,6 +308,9 @@ def train_paired(
 
     for epoch in epoch_range:
         model.train()
+        # cached_partial pins the module traversal: per-batch Python dispatch
+        # drops ~6x (rebuilt each epoch because train/eval flip the graphdef)
+        cached_train_step = nnx.cached_partial(train_step, model, optimizer)
         print(f"Epoch {epoch}:")
         n_batches = len(train_loader)
 
@@ -315,8 +318,8 @@ def train_paired(
         for batch_idx, (batch, extra, n_valid) in enumerate(progress):
             key, step_key = jax.random.split(key)
             with_metrics = batch_idx % log_frequency == 0 or batch_idx == n_batches - 1
-            loss, metrics, tensors = train_step(
-                model, optimizer, batch, extra, step_key, optim.lr, n_valid, with_metrics
+            loss, metrics, tensors = cached_train_step(
+                batch, extra, step_key, optim.lr, n_valid, with_metrics
             )
             # exposed in locals() for GUI/monitoring callbacks (lazy device
             # arrays; no sync unless a callback materializes them)
@@ -349,13 +352,14 @@ def train_paired(
 
         # Validation (seeded sampler order; reference: pssr/train.py:121-148)
         model.eval()
+        cached_val_step = nnx.cached_partial(val_step, model)
         print(f"Epoch {epoch} validation...")
         val_loss = []
         n_val_batches = len(val_loader)
         progress = tqdm(_wrap_batches(val_loader), total=n_val_batches)
         for batch_idx, (batch, extra, n_valid) in enumerate(progress):
             key, step_key = jax.random.split(key)
-            loss, tensors = val_step(model, batch, extra, step_key, n_valid)
+            loss, tensors = cached_val_step(batch, extra, step_key, n_valid)
             val_loss.append(float(loss))
             if batch_idx == max(n_val_batches, 2) - 2:
                 last_full_val = [np.asarray(t) for t in tensors]
