@@ -50,6 +50,9 @@ def _build(batch_size, hr_res, lr_scale, dtype=None):
     loss_fn = SSIMLoss(mix=0.8, ms=True)
     fused_step, _ = _build_paired_steps(loss_fn, False, gen_pair)
     host_step, _ = _build_paired_steps(loss_fn, False, None)
+    # cached module traversal, as the real train loop dispatches
+    fused_step = nnx.cached_partial(fused_step, model, optimizer)
+    host_step = nnx.cached_partial(host_step, model, optimizer)
     return model, optimizer, optim, fused_step, host_step
 
 
@@ -158,7 +161,7 @@ def main():
 
     # Fused on-device pipeline (ours): degradation + train step in one jit
     def run_fused():
-        loss, _, _ = fused_step(model, optimizer, hr_u8, None, key, optim.lr, batch_size, False)
+        loss, _, _ = fused_step(hr_u8, None, key, optim.lr, batch_size, False)
         return loss
 
     fused_sps = _time_steps(run_fused)
@@ -176,7 +179,7 @@ def main():
         lr = resize_bilinear_np(hr_np, hr_res // lr_scale, hr_res // lr_scale)
         lr = np.clip(np.round(lr), 0, 255).astype(np.float32)
         lr = np.stack([np.clip(np.round(host_crap.crappify(p)), 0, 255) for p in lr])
-        loss, _, _ = host_step(model, optimizer, (jnp.asarray(hr_np), jnp.asarray(lr)), None, key, optim.lr, batch_size, False)
+        loss, _, _ = host_step((jnp.asarray(hr_np), jnp.asarray(lr)), None, key, optim.lr, batch_size, False)
         return loss
 
     host_sps = _time_steps(run_host, n_warmup=2, n_steps=4, n_trials=3)
