@@ -146,8 +146,8 @@ def main():
     batch_size = int(os.environ.get("BENCH_BATCH", 16))
     hr_res = int(os.environ.get("BENCH_HR", 512))
     lr_scale = 4
-    # f32 measured equal-or-faster than bf16 on v5e for this model (the
-    # step is not MXU-bound) and matches reference numerics exactly
+    # default f32: matches reference numerics exactly; bf16 compute is ~20%
+    # faster (BENCH_BF16=1) once quality parity is validated at scale
     use_bf16 = os.environ.get("BENCH_BF16", "0") != "0"
 
     import jax.numpy as jnp
