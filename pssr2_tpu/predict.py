@@ -115,10 +115,14 @@ def predict_images(
 
     outs, cur_idx = {}, 0
     val_idx = list(dataset.val_idx)
+    from concurrent.futures import ThreadPoolExecutor
+
+    num_workers = (dataloader_kwargs or {}).get("num_workers", 4)
+    pool = ThreadPoolExecutor(max_workers=num_workers)
     progress = tqdm(range(0, len(val_idx), batch_size))
     for start in progress:
         idx_batch = val_idx[start : start + batch_size]
-        items = [dataset[i] for i in idx_batch]
+        items = list(pool.map(dataset.__getitem__, idx_batch))
         if dataset.is_lr:
             lr = np.stack([np.asarray(item) for item in items])
             hr = None
@@ -150,6 +154,7 @@ def predict_images(
                     callback()
         cur_idx += batch_size
 
+    pool.shutdown()
     if out_dir is None:
         return outs
 

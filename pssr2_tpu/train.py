@@ -474,12 +474,13 @@ def train_crappifier(
     last_full_val = None
     for epoch in range(epochs):
         model.train()
+        cached_train = nnx.cached_partial(train_step, model, optimizer)
         print(f"Epoch {epoch}:")
         n_batches = len(train_loader)
         progress = tqdm(iter(train_loader), total=n_batches)
         for batch_idx, ((hr, lr), _extra, n_valid) in enumerate(progress):
             scale = int(hr.shape[-1] / lr.shape[-1])
-            loss, tensors = train_step(model, optimizer, jnp.asarray(hr), jnp.asarray(lr), optim.lr, n_valid, scale)
+            loss, tensors = cached_train(jnp.asarray(hr), jnp.asarray(lr), optim.lr, n_valid, scale)
             if batch_idx % log_frequency == 0 or batch_idx == n_batches - 1:
                 train_losses.append(float(loss))
                 progress.set_description(f"loss[{float(loss):.4f}]")
@@ -492,13 +493,14 @@ def train_crappifier(
                     callback()
 
         model.eval()
+        cached_val = nnx.cached_partial(val_step, model)
         print(f"Epoch {epoch} validation...")
         val_loss = []
         n_val = len(val_loader)
         progress = tqdm(iter(val_loader), total=n_val)
         for batch_idx, ((hr, lr), _extra, n_valid) in enumerate(progress):
             scale = int(hr.shape[-1] / lr.shape[-1])
-            loss, tensors = val_step(model, jnp.asarray(hr), jnp.asarray(lr), n_valid, scale)
+            loss, tensors = cached_val(jnp.asarray(hr), jnp.asarray(lr), n_valid, scale)
             val_loss.append(float(loss))
             if batch_idx == max(n_val, 2) - 2:
                 last_full_val = [np.asarray(t) for t in tensors]

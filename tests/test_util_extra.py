@@ -136,3 +136,26 @@ def test_local_batch_slice():
 
     start, stop = local_batch_slice(32)
     assert (start, stop) == (0, 32)  # single-process
+
+
+def test_lr_finder(tmp_path):
+    from pssr2_tpu.data import ImageDataset
+    from pssr2_tpu.optim import lr_finder
+    from pssr2_tpu.util import MSELoss
+    from _util import make_tifs, get_shape
+
+    make_tifs(tmp_path / "imgs", get_shape(64, batch=4))
+    dataset = ImageDataset(tmp_path / "imgs", hr_res=64)
+    model = ResUNet(hidden=[8, 16], depth=1)
+
+    import numpy as np
+    from flax import nnx
+
+    before = nnx.to_pure_dict(nnx.state(model, nnx.Param))
+    lrs, losses, suggested = lr_finder(model, dataset, batch_size=2, loss_fn=MSELoss(), n_steps=8)
+    assert len(lrs) == len(losses) > 0
+    assert lrs[0] < suggested <= 1.0
+    # caller's model untouched
+    after = nnx.to_pure_dict(nnx.state(model, nnx.Param))
+    for a, b in zip(__import__("jax").tree.leaves(before), __import__("jax").tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
