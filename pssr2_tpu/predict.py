@@ -182,7 +182,6 @@ def predict_collage(
     iterator = (
         RandomIterIdx(dataset.val_idx, seed=True) if len(dataset.val_idx) < len(dataset) else dataset.val_idx
     )
-    count = 0
     for idx, data_idx in enumerate(iterator):
         if dataset.is_lr:
             lr = np.asarray(dataset[data_idx])[np.newaxis]
@@ -203,7 +202,6 @@ def predict_collage(
             else:
                 callback()
 
-        count = idx
         if idx >= n_images - 1:
             break
 

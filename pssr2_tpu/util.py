@@ -51,9 +51,6 @@ class SSIMLoss:
         self.ms = ms
         self.mix = mix
         self.kwargs = {} if kwargs is None else kwargs
-        if mix < 1:
-            g = _gaussian_window(win_size, win_sigma)
-            self.gaussian = np.outer(g, g)[np.newaxis, np.newaxis]  # (1,1,k,k)
 
     def _ssim_val(self, input, target, size_average):
         fn = ms_ssim if self.ms else ssim
