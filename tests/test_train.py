@@ -122,3 +122,26 @@ def test_train_asymmetric_frames(tmp_path):
     model = ResUNet(channels=[1, 3], **SMALL)
     losses, _ = train_paired(model, dataset, batch_size=2, loss_fn=MSELoss(), optim=AdamW(1e-3), epochs=1)
     assert all(np.isfinite(v) for v in losses)
+
+
+def test_sigterm_graceful_save(tmp_path):
+    import os as _os
+    import signal as _signal
+
+    dataset = _dataset(tmp_path)
+    model = ResUNet(**SMALL)
+    state_dir = tmp_path / "state"
+
+    fired = []
+
+    def send_term(_locals):
+        if not fired:
+            fired.append(True)
+            _os.kill(_os.getpid(), _signal.SIGTERM)
+
+    with pytest.raises(SystemExit):
+        train_paired(
+            model, dataset, batch_size=2, loss_fn=MSELoss(), optim=AdamW(1e-3), epochs=3,
+            state_dir=str(state_dir), callbacks=[send_term],
+        )
+    assert list(state_dir.glob("epoch_*"))  # state saved before exit
