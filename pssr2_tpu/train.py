@@ -335,7 +335,7 @@ def train_paired(
                 )
 
             if batch_idx == max(n_batches, 2) - 2:
-                last_full = [np.asarray(t) for t in tensors]
+                last_full = list(tensors)  # lazy device arrays (no sync)
 
             for idx, callback in enumerate(callbacks):
                 if callback_locals[idx]:
@@ -362,7 +362,7 @@ def train_paired(
             loss, tensors = cached_val_step(batch, extra, step_key, n_valid)
             val_loss.append(float(loss))
             if batch_idx == max(n_val_batches, 2) - 2:
-                last_full_val = [np.asarray(t) for t in tensors]
+                last_full_val = list(tensors)  # lazy device arrays
 
         val_loss = sum(val_loss) / len(val_loss)
         val_losses.append(val_loss)
