@@ -98,6 +98,7 @@ class ImageDataset(_DatasetBase):
         extra_path=None,
         extra_scale: int = 1,
         transforms=None,
+        preload: bool = False,
     ):
         """Training dataset for pre-tiled high-resolution image files,
         returning (hr, lr) pairs with on-the-fly crappification.
@@ -105,7 +106,10 @@ class ImageDataset(_DatasetBase):
         LR mode (loads only unmodified low-resolution images for prediction)
         is enabled when images are <= ``hr_res/lr_scale`` or ``lr_scale=-1``.
 
-        (reference: pssr/data.py:12-130; same args/semantics)
+        (reference: pssr/data.py:12-130; same args/semantics.  ``preload``
+        is an extension the reference only offers for sliding datasets:
+        keep decoded images in host RAM — at real training throughput the
+        per-epoch re-decode is the bottleneck, not the TPU.)
         """
         self.path = _as_path(path)
         _check_path(self.path)
@@ -153,6 +157,29 @@ class ImageDataset(_DatasetBase):
         self.extra_scale = extra_scale
         self.transforms = transforms
 
+        self.preload = None
+        if preload:
+            from .io import load_image as _li
+
+            self.preload = [
+                _li(self.path, f, self.mode, None, 1, 0) for f in self.hr_files
+            ]
+
+    def _load(self, image_idx, idx):
+        if self.preload is not None:
+            from .indexing import slice_image
+
+            n = max(self.n_frames) if self.n_frames is not None else None
+            return slice_image(self.preload[image_idx], n, self.slices[image_idx], idx, slide=False)
+        return load_image(
+            self.path,
+            self.hr_files[image_idx],
+            self.mode,
+            max(self.n_frames) if self.n_frames is not None else None,
+            self.slices[image_idx],
+            idx,
+        )
+
     def __getitem__(self, idx, pp=False):
         if idx >= len(self):
             raise IndexError(
@@ -162,14 +189,7 @@ class ImageDataset(_DatasetBase):
         is_val = idx in self.val_idx or pp
         image_idx, idx = get_image_idx(idx, self.slices)
 
-        hr = load_image(
-            self.path,
-            self.hr_files[image_idx],
-            self.mode,
-            max(self.n_frames) if self.n_frames is not None else None,
-            self.slices[image_idx],
-            idx,
-        )
+        hr = self._load(image_idx, idx)
         cur_rot = _random_rotation() if self.rotation and not is_val else False
 
         if self.is_lr:
@@ -195,14 +215,7 @@ class ImageDataset(_DatasetBase):
         """TPU fast path: raw uint8 HR window (crop/pad only; rotation,
         downscale and crappification happen on device)."""
         image_idx, idx = get_image_idx(idx, self.slices)
-        hr = load_image(
-            self.path,
-            self.hr_files[image_idx],
-            self.mode,
-            max(self.n_frames) if self.n_frames is not None else None,
-            self.slices[image_idx],
-            idx,
-        )
+        hr = self._load(image_idx, idx)
         hr = square_crop(hr, self.hr_res)
         hr = pad_image(hr, self.hr_res)
         return np.ascontiguousarray(hr).astype(np.uint8)

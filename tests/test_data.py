@@ -309,3 +309,15 @@ def test_asymmetric_n_frames(tmp_path):
     hr, lr = dataset[0]
     assert hr.shape == (3, HR_RES, HR_RES)
     assert lr.shape == (1, LR_RES, LR_RES)
+
+
+def test_imagedataset_preload(tmp_path):
+    make_tifs(tmp_path / "mf", get_shape(HR_RES, batch=3, channels=4))
+    plain = ImageDataset(tmp_path / "mf", n_frames=2, rotation=False)
+    cached = ImageDataset(tmp_path / "mf", n_frames=2, rotation=False, preload=True)
+    assert len(cached.preload) == 3
+    for idx in range(len(plain)):
+        a = plain.__getitem__(idx, pp=True)
+        b = cached.__getitem__(idx, pp=True)
+        np.testing.assert_array_equal(a[0], b[0])  # hr identical
+        np.testing.assert_array_equal(cached.hr_patch(idx), plain.hr_patch(idx))
