@@ -5,10 +5,15 @@ abort is raised through the callback protocol; viewer layers update live
 with LR/PSSR/HR collages; matplotlib plots loss and metric boxplots.
 Constructor strings from the editors are parsed by the restricted
 declaration parser (never eval'd).
+
+Qt imports are deferred: the real widget classes are built on first access
+by :func:`build_widget_classes`; the module-level ``TrainWidget`` /
+``PredictWidget`` names resolve lazily for the napari manifest.
 """
 
 import warnings
 from enum import Enum
+from functools import lru_cache
 
 import numpy as np
 
@@ -31,13 +36,33 @@ def _use_plot():
         return False
 
 
-def _build_processes():
-    """Build the TrainProcess/PredictProcess QObject classes (lazy Qt)."""
-    from qtpy.QtCore import QObject, Signal
+def _collage_images(batched):
+    """Square grid collage of a batch (reference widgets.py:282-294)."""
+    n_rows = int(np.sqrt(batched.shape[0]))
+    n_cols = batched.shape[0] // n_rows
+    image_size = batched.shape[-1]
+    collage = np.zeros([batched.shape[1], n_rows * image_size, n_cols * image_size])
+    for idx in range(n_rows * n_cols):
+        row, col = idx // n_cols, idx % n_cols
+        collage[:, row * image_size : (row + 1) * image_size, col * image_size : (col + 1) * image_size] = batched[idx]
+    return collage
+
+
+@lru_cache(maxsize=1)
+def build_widget_classes():
+    """Build all Qt-dependent classes; returns a namespace dict."""
+    import jax
+    from magicgui.widgets import ComboBox, Container, FileEdit, PushButton, TextEdit, create_widget
+    from qtpy.QtCore import QObject, QThread, Qt, Signal
+    from qtpy.QtWidgets import QVBoxLayout, QWidget
 
     from ..__main__ import pssr_head
-    from ..util import SSIMLoss, MSELoss
+    from ..data import ImageDataset, PairedImageDataset, PairedSlidingDataset, SlidingDataset
+    from ..models import RDResUNet, ResUNet, SwinIR
+    from ..util import MSELoss, SSIMLoss
+    from ._util import build_util_classes
 
+    ObjectEdit, SignalWrapper = build_util_classes()
     use_plot = _use_plot()
 
     class TrainProcess(QObject):
@@ -124,7 +149,7 @@ def _build_processes():
                                 for image in lr
                             ]
                         )
-                    collage = self._collage_images(batched)
+                    collage = _collage_images(batched)
                     if collage.shape[0] == 1 and collage.shape[0] < channels:
                         collage = np.repeat(collage, channels, axis=0)
                     self.monitor.emit([name, collage])
@@ -137,16 +162,6 @@ def _build_processes():
                 n_batches = train_locals["n_batches"]
                 if batch_idx % log_frequency == 0 or batch_idx == n_batches - 1:
                     self.loss.emit(float(train_locals["loss"]))
-
-        def _collage_images(self, batched):
-            n_rows = int(np.sqrt(batched.shape[0]))
-            n_cols = batched.shape[0] // n_rows
-            image_size = batched.shape[-1]
-            collage = np.zeros([batched.shape[1], n_rows * image_size, n_cols * image_size])
-            for idx in range(n_rows * n_cols):
-                row, col = idx // n_cols, idx % n_cols
-                collage[:, row * image_size : (row + 1) * image_size, col * image_size : (col + 1) * image_size] = batched[idx]
-            return collage
 
     class PredictProcess(QObject):
         stage = Signal(str)
@@ -193,250 +208,228 @@ def _build_processes():
             if self.abort:
                 raise InterruptedError("Prediction cancelled by user")
 
-    return TrainProcess, PredictProcess
+    if use_plot:
+        from matplotlib.backends.backend_qtagg import FigureCanvasQTAgg
+        from matplotlib.figure import Figure
 
+        class LossPlot(FigureCanvasQTAgg):
+            """Live training-loss line plot (reference widgets.py:347-374)."""
 
-class PSSRWidget:
-    """Main dock widget; see reference widgets.py:32-189 for the layout it
-    mirrors (object editors, params, trigger-as-cancel, console, plots)."""
+            def __init__(self, size):
+                fig = Figure(figsize=size)
+                super().__init__(fig)
+                self.ax = fig.add_subplot()
+                self.ax.set_title("Training Loss")
+                self.ax.tick_params(axis="x", which="both", bottom=False, top=False, labelbottom=False)
+                fig.set_tight_layout(True)
+                self.pos = -1
+                self.last = None
 
-    def __new__(cls, is_train, viewer):
-        from qtpy.QtWidgets import QWidget
+            def add_point(self, value):
+                if self.pos > 0:
+                    self.ax.plot([self.pos - 1, self.pos], [self.last, value], c="blue")
+                    self.draw()
+                self.pos += 1
+                self.last = value
 
-        widget_cls = type("PSSRWidgetQt", (QWidget,), dict(cls.__dict__))
-        self = widget_cls()
-        self._init(is_train, viewer)
-        return self
+        class MetricsPlot(FigureCanvasQTAgg):
+            """PSNR/SSIM boxplots (reference widgets.py:376-398)."""
 
-    def _init(self, is_train, viewer):
-        import jax
-        from magicgui.widgets import ComboBox, Container, FileEdit, PushButton, TextEdit, create_widget
-        from qtpy.QtCore import Qt
-        from qtpy.QtWidgets import QVBoxLayout
+            def __init__(self, size):
+                fig = Figure(figsize=size)
+                super().__init__(fig)
+                self.ax_psnr = fig.add_subplot(121)
+                self.ax_psnr.set_title("PSNR")
+                self.ax_ssim = fig.add_subplot(122)
+                self.ax_ssim.set_title("SSIM")
+                fig.set_tight_layout(True)
 
-        from ..data import ImageDataset, PairedImageDataset, PairedSlidingDataset, SlidingDataset
-        from ..models import RDResUNet, ResUNet, SwinIR
-        from ._util import ObjectEdit
+            def show_metrics(self, data):
+                self._boxplot(self.ax_psnr, data[0])
+                self._boxplot(self.ax_ssim, data[1])
+                self.show()
 
-        self.viewer = viewer
-        self.is_train = is_train
+            def _boxplot(self, ax, data):
+                ax.boxplot(data, showfliers=False)
+                x = np.random.normal(1, 0.02, size=len(data))
+                ax.plot(x, data, ".", alpha=0.5)
+    else:
+        LossPlot = MetricsPlot = None
 
-        self.model = ObjectEdit("Model", [ResUNet, RDResUNet, SwinIR])
-        self.dataset = ObjectEdit(
-            "Dataset",
-            [ImageDataset, SlidingDataset, PairedImageDataset, PairedSlidingDataset],
-            hide_crappifier=not is_train,
-        )
+    class PSSRWidget(QWidget):
+        """Main dock widget (reference widgets.py:32-189): object editors,
+        run params, trigger-as-cancel, console, live plots."""
 
-        platforms = sorted({d.platform for d in jax.devices()})
-        self.device = ComboBox(name="Device", choices=platforms)
-        self.model_path = FileEdit(name="Model Path")
-        self.batch_size = create_widget(value=16, name="Batch Size")
+        def __init__(self, is_train, viewer):
+            super().__init__()
+            self.viewer = viewer
+            self.is_train = is_train
 
-        if is_train:
-            self.epochs = create_widget(value=10, name="Epochs")
-            self.lr = create_widget(value=0.001, name="Learning Rate", options=dict(step=1e-5))
-            self.gamma = create_widget(value=0.5, name="Learning Rate Decay")
-            self.loss_fn = ComboBox(name="Loss Function", choices=["MS-SSIM", "SSIM", "MSE"])
-            self.checkpoint = create_widget(value=False, name="Save Checkpoints")
-            self.losses = create_widget(value=False, name="Save Losses")
-            self.resume = create_widget(value=False, name="Load Checkpoint")
-            self.resume.changed.connect(lambda: setattr(self.model_path, "visible", self.resume.value))
-            self.model_path.visible = self.resume.value
-
-        self.params = Container()
-        self.params.append(self.device)
-        if is_train:
-            for w in (self.epochs, self.batch_size, self.lr, self.gamma, self.loss_fn, self.checkpoint, self.losses, self.resume):
-                self.params.append(w)
-        self.params.append(self.model_path)
-
-        self.trigger = PushButton(text=Status.IDLE_TRAIN.value if is_train else Status.IDLE_PREDICT.value)
-        self.trigger.changed.connect(lambda: self.process_wrapper(is_train))
-
-        self.console = TextEdit(value="")
-        self.console.read_only = True
-        self.console.hide()
-        self.err_len = 0
-
-        layout = QVBoxLayout()
-        layout.addWidget(self.model)
-        layout.addWidget(self.dataset)
-        layout.addWidget(self.params.native)
-        layout.addWidget(self.trigger.native)
-        layout.addWidget(self.console.native)
-        layout.setAlignment(Qt.AlignTop)
-        self.setLayout(layout)
-
-        self.hide_widgets = [self.model, self.dataset, self.params]
-        self.plot = None
-
-    def process_wrapper(self, train):
-        from qtpy.QtCore import QThread
-
-        from ._util import make_signal_wrapper
-
-        if self.trigger.text in [Status.LOADING.value, Status.PROGRESS_TRAIN.value, Status.PROGRESS_PREDICT.value]:
-            self.worker.abort = True
-            return
-
-        TrainProcess, PredictProcess = _build_processes()
-        use_plot = _use_plot()
-
-        if train:
-            self.worker = TrainProcess(
-                model=self.model.object,
-                dataset=self.dataset.object,
-                device=self.device.value,
-                epochs=self.epochs.value,
-                batch_size=self.batch_size.value,
-                lr=self.lr.value,
-                gamma=self.gamma.value,
-                loss_fn=self.loss_fn.value,
-                checkpoint=self.checkpoint.value,
-                losses=self.losses.value,
-                model_path=self.model_path.value if self.resume.value else None,
+            self.model = ObjectEdit("Model", [ResUNet, RDResUNet, SwinIR])
+            self.dataset = ObjectEdit(
+                "Dataset",
+                [ImageDataset, SlidingDataset, PairedImageDataset, PairedSlidingDataset],
+                hide_crappifier=not is_train,
             )
-        else:
-            self.worker = PredictProcess(
-                model=self.model.object,
-                dataset=self.dataset.object,
-                device=self.device.value,
-                model_path=self.model_path.value,
-            )
-        self.worker.stage.connect(lambda x: setattr(self.trigger, "text", x))
-        self.worker.monitor.connect(lambda x: setattr(self.viewer.layers[x[0]], "data", x[1]))
-        self.worker.finished.connect(self._close_thread)
-        self.worker.error.connect(self._catch_error)
 
-        SignalWrapper = make_signal_wrapper()
-        self.capture = SignalWrapper(self.worker.run)
-        self.capture.out.connect(lambda x: self._write_console(x))
-        self.capture.err.connect(lambda x: self._write_console(x, err=True))
-        self.console.value = ""
+            platforms = sorted({d.platform for d in jax.devices()})
+            self.device = ComboBox(name="Device", choices=platforms)
+            self.model_path = FileEdit(name="Model Path")
+            self.batch_size = create_widget(value=16, name="Batch Size")
 
-        self.thread = QThread()
-        self.capture.moveToThread(self.thread)
-        self.thread.started.connect(self.capture.capture)
+            if is_train:
+                self.epochs = create_widget(value=10, name="Epochs")
+                self.lr = create_widget(value=0.001, name="Learning Rate", options=dict(step=1e-5))
+                self.gamma = create_widget(value=0.5, name="Learning Rate Decay")
+                self.loss_fn = ComboBox(name="Loss Function", choices=["MS-SSIM", "SSIM", "MSE"])
+                self.checkpoint = create_widget(value=False, name="Save Checkpoints")
+                self.losses = create_widget(value=False, name="Save Losses")
+                self.resume = create_widget(value=False, name="Load Checkpoint")
+                self.resume.changed.connect(lambda: setattr(self.model_path, "visible", self.resume.value))
+                self.model_path.visible = self.resume.value
 
-        for widget in self.hide_widgets:
-            widget.hide()
-        self.model.collapse.collapse()
-        self.dataset.collapse.collapse()
-        self.console.show()
+            self.params = Container()
+            self.params.append(self.device)
+            if is_train:
+                for w in (self.epochs, self.batch_size, self.lr, self.gamma, self.loss_fn, self.checkpoint, self.losses, self.resume):
+                    self.params.append(w)
+            self.params.append(self.model_path)
 
-        if use_plot:
-            LossPlot, MetricsPlot = _plot_classes()
-            if self.plot is not None:
-                self.layout().removeWidget(self.plot)
-                self.plot.hide()
-                self.plot = None
+            self.trigger = PushButton(text=Status.IDLE_TRAIN.value if is_train else Status.IDLE_PREDICT.value)
+            self.trigger.changed.connect(lambda: self.process_wrapper(is_train))
+
+            self.console = TextEdit(value="")
+            self.console.read_only = True
+            self.console.hide()
+            self.err_len = 0
+
+            layout = QVBoxLayout()
+            layout.addWidget(self.model)
+            layout.addWidget(self.dataset)
+            layout.addWidget(self.params.native)
+            layout.addWidget(self.trigger.native)
+            layout.addWidget(self.console.native)
+            layout.setAlignment(Qt.AlignTop)
+            self.setLayout(layout)
+
+            self.hide_widgets = [self.model, self.dataset, self.params]
+            self.plot = None
+
+        def process_wrapper(self, train):
+            if self.trigger.text in [Status.LOADING.value, Status.PROGRESS_TRAIN.value, Status.PROGRESS_PREDICT.value]:
+                self.worker.abort = True
+                return
+
             if train:
-                self.plot = LossPlot(size=(6, 4))
-                self.worker.loss.connect(lambda x: self.plot.add_point(x))
-                self.layout().addWidget(self.plot)
+                self.worker = TrainProcess(
+                    model=self.model.object,
+                    dataset=self.dataset.object,
+                    device=self.device.value,
+                    epochs=self.epochs.value,
+                    batch_size=self.batch_size.value,
+                    lr=self.lr.value,
+                    gamma=self.gamma.value,
+                    loss_fn=self.loss_fn.value,
+                    checkpoint=self.checkpoint.value,
+                    losses=self.losses.value,
+                    model_path=self.model_path.value if self.resume.value else None,
+                )
             else:
-                self.plot = MetricsPlot(size=(6, 4))
-                self.worker.metrics.connect(lambda x: self.plot.show_metrics(x))
-                self.layout().addWidget(self.plot)
-                self.plot.hide()
+                self.worker = PredictProcess(
+                    model=self.model.object,
+                    dataset=self.dataset.object,
+                    device=self.device.value,
+                    model_path=self.model_path.value,
+                )
+            self.worker.stage.connect(lambda x: setattr(self.trigger, "text", x))
+            self.worker.monitor.connect(lambda x: setattr(self.viewer.layers[x[0]], "data", x[1]))
+            self.worker.finished.connect(self._close_thread)
+            self.worker.error.connect(self._catch_error)
 
-        for name in ["LR", "PSSR", "HR"] if train else []:
-            try:
-                self.viewer.layers.remove(name)
-            except Exception:
-                pass
-            self.viewer.add_image(
-                np.zeros(shape=[1] + [self.dataset.arguments["hr_res"]] * 2, dtype=np.uint8), name=name
-            )
+            self.capture = SignalWrapper(self.worker.run)
+            self.capture.out.connect(lambda x: self._write_console(x))
+            self.capture.err.connect(lambda x: self._write_console(x, err=True))
+            self.console.value = ""
 
-        self.thread.start()
+            self.thread = QThread()
+            self.capture.moveToThread(self.thread)
+            self.thread.started.connect(self.capture.capture)
 
-    def _write_console(self, line, err=False):
-        if len(line.strip()) > 0:
-            if err:
-                self.console.value = "\n".join(self.console.value.strip().split("\n")[self.err_len :])
-                self.err_len = len(line.split("\n"))
-                line = line.strip()
-            elif self.err_len > 0:
-                self.err_len = 0
-            if line[-1] == "\n":
-                line = "\n" + line.strip()
-            self.console.value = line + "\n" + self.console.value
+            for widget in self.hide_widgets:
+                widget.hide()
+            self.model.collapse.collapse()
+            self.dataset.collapse.collapse()
+            self.console.show()
 
-    def _close_thread(self):
-        self.thread.quit()
-        self.thread.wait()
-        for widget in self.hide_widgets:
-            widget.show()
+            if use_plot:
+                if self.plot is not None:
+                    self.layout().removeWidget(self.plot)
+                    self.plot.hide()
+                    self.plot = None
+                if train:
+                    self.plot = LossPlot(size=(6, 4))
+                    self.worker.loss.connect(lambda x: self.plot.add_point(x))
+                    self.layout().addWidget(self.plot)
+                else:
+                    self.plot = MetricsPlot(size=(6, 4))
+                    self.worker.metrics.connect(lambda x: self.plot.show_metrics(x))
+                    self.layout().addWidget(self.plot)
+                    self.plot.hide()
 
-    def _catch_error(self, error):
-        self._close_thread()
-        self._write_console(repr(error))
-        raise error
+            for name in ["LR", "PSSR", "HR"] if train else []:
+                try:
+                    self.viewer.layers.remove(name)
+                except Exception:
+                    pass
+                self.viewer.add_image(
+                    np.zeros(shape=[1] + [self.dataset.arguments["hr_res"]] * 2, dtype=np.uint8), name=name
+                )
 
+            self.thread.start()
 
-def _plot_classes():
-    from matplotlib.backends.backend_qtagg import FigureCanvasQTAgg
-    from matplotlib.figure import Figure
+        def _write_console(self, line, err=False):
+            if len(line.strip()) > 0:
+                if err:
+                    self.console.value = "\n".join(self.console.value.strip().split("\n")[self.err_len :])
+                    self.err_len = len(line.split("\n"))
+                    line = line.strip()
+                elif self.err_len > 0:
+                    self.err_len = 0
+                if line[-1] == "\n":
+                    line = "\n" + line.strip()
+                self.console.value = line + "\n" + self.console.value
 
-    class LossPlot(FigureCanvasQTAgg):
-        """Live training-loss line plot (reference widgets.py:347-374)."""
+        def _close_thread(self):
+            self.thread.quit()
+            self.thread.wait()
+            for widget in self.hide_widgets:
+                widget.show()
 
-        def __init__(self, size):
-            fig = Figure(figsize=size)
-            super().__init__(fig)
-            self.ax = fig.add_subplot()
-            self.ax.set_title("Training Loss")
-            self.ax.tick_params(axis="x", which="both", bottom=False, top=False, labelbottom=False)
-            fig.set_tight_layout(True)
-            self.pos = -1
-            self.last = None
+        def _catch_error(self, error):
+            self._close_thread()
+            self._write_console(repr(error))
+            raise error
 
-        def add_point(self, value):
-            if self.pos > 0:
-                self.ax.plot([self.pos - 1, self.pos], [self.last, value], c="blue")
-                self.draw()
-            self.pos += 1
-            self.last = value
+    class TrainWidget(PSSRWidget):
+        def __init__(self, viewer):
+            super().__init__(is_train=True, viewer=viewer)
 
-    class MetricsPlot(FigureCanvasQTAgg):
-        """PSNR/SSIM boxplots (reference widgets.py:376-398)."""
+    class PredictWidget(PSSRWidget):
+        def __init__(self, viewer):
+            super().__init__(is_train=False, viewer=viewer)
 
-        def __init__(self, size):
-            fig = Figure(figsize=size)
-            super().__init__(fig)
-            self.ax_psnr = fig.add_subplot(121)
-            self.ax_psnr.set_title("PSNR")
-            self.ax_ssim = fig.add_subplot(122)
-            self.ax_ssim.set_title("SSIM")
-            fig.set_tight_layout(True)
-
-        def show_metrics(self, data):
-            self._boxplot(self.ax_psnr, data[0])
-            self._boxplot(self.ax_ssim, data[1])
-            self.show()
-
-        def _boxplot(self, ax, data):
-            ax.boxplot(data, showfliers=False)
-            x = np.random.normal(1, 0.02, size=len(data))
-            ax.plot(x, data, ".", alpha=0.5)
-
-    return LossPlot, MetricsPlot
+    return {
+        "PSSRWidget": PSSRWidget,
+        "TrainWidget": TrainWidget,
+        "PredictWidget": PredictWidget,
+        "TrainProcess": TrainProcess,
+        "PredictProcess": PredictProcess,
+        "LossPlot": LossPlot,
+        "MetricsPlot": MetricsPlot,
+    }
 
 
 def __getattr__(name):
-    if name in ("LossPlot", "MetricsPlot"):
-        LossPlot, MetricsPlot = _plot_classes()
-        return {"LossPlot": LossPlot, "MetricsPlot": MetricsPlot}[name]
-    raise AttributeError(name)
-
-
-class TrainWidget(PSSRWidget):
-    def __new__(cls, viewer):
-        return PSSRWidget.__new__(PSSRWidget, is_train=True, viewer=viewer)
-
-
-class PredictWidget(PSSRWidget):
-    def __new__(cls, viewer):
-        return PSSRWidget.__new__(PSSRWidget, is_train=False, viewer=viewer)
+    if name in ("PSSRWidget", "TrainWidget", "PredictWidget", "TrainProcess", "PredictProcess", "LossPlot", "MetricsPlot"):
+        return build_widget_classes()[name]
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
