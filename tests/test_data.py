@@ -321,3 +321,25 @@ def test_imagedataset_preload(tmp_path):
         b = cached.__getitem__(idx, pp=True)
         np.testing.assert_array_equal(a[0], b[0])  # hr identical
         np.testing.assert_array_equal(cached.hr_patch(idx), plain.hr_patch(idx))
+
+
+def test_png_extension(tmp_path):
+    from PIL import Image
+
+    (tmp_path / "png").mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        Image.fromarray((rng.random((HR_RES, HR_RES)) * 255).astype(np.uint8)).save(tmp_path / "png" / f"i{i}.png")
+    dataset = ImageDataset(tmp_path / "png", extension="png")
+    assert len(dataset) == 3
+    hr, lr = dataset[0]
+    assert hr.shape == (1, HR_RES, HR_RES) and lr.shape == (1, LR_RES, LR_RES)
+
+
+def test_val_split_seed_none(tmp_path):
+    # seed=None: last images held out, no shuffle (reference data.py:717-721)
+    from pssr2_tpu.data.indexing import get_val_idx, invert_idx
+
+    val = get_val_idx([1, 1, 1, 1], split=0.25, seed=None)
+    assert val == [3]
+    assert list(invert_idx(val, 4)) == [0, 1, 2]
