@@ -343,3 +343,21 @@ def test_val_split_seed_none(tmp_path):
     val = get_val_idx([1, 1, 1, 1], split=0.25, seed=None)
     assert val == [3]
     assert list(invert_idx(val, 4)) == [0, 1, 2]
+
+
+def test_preprocess_then_paired_workflow(tmp_path):
+    # reference workflow: materialize crappified tiles, then train from the
+    # pre-generated pairs with PairedImageDataset
+    make_tifs(tmp_path / "images", get_shape(HR_RES, batch=3))
+    dataset = ImageDataset(tmp_path / "images")
+    preprocess_dataset(dataset, preprocess_hr=True, out_dir=str(tmp_path / "pp"))
+
+    paired = PairedImageDataset(tmp_path / "pp" / "hr", tmp_path / "pp" / "lr")
+    assert len(paired) == 3
+    hr, lr = paired.__getitem__(0, pp=True)
+    assert hr.shape == (1, HR_RES, HR_RES)
+    assert lr.shape == (1, LR_RES, LR_RES)
+    # pairs match what preprocess wrote
+    name = paired._get_name(0)
+    want_lr = tiff.imread(tmp_path / "pp" / "lr" / f"{name}.tif")
+    np.testing.assert_array_equal(lr.squeeze().astype(np.uint8), want_lr)
