@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from ..crappifiers import (
     AdditiveGaussian,
     Blur,
-    Crappifier,
     MultiCrappifier,
     Poisson,
     SaltPepper,

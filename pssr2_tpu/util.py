@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.ssim import _gaussian_window, ms_ssim, ssim
+from .ops.ssim import ms_ssim, ssim
 
 
 class MSELoss:
