@@ -47,6 +47,11 @@ def _blur(x: jnp.ndarray, win_size: int, win_sigma: float) -> jnp.ndarray:
     """Separable Gaussian blur over H and W, VALID padding, per channel —
     implemented as two banded matmuls (MXU) instead of depthwise convs."""
     h, w = x.shape[-2], x.shape[-1]
+    if min(h, w) < win_size:
+        raise ValueError(
+            f"Image spatial dims {(h, w)} are smaller than the SSIM window "
+            f"({win_size}); pass a smaller win_size."
+        )
     gh = jnp.asarray(_band_matrix(h, win_size, win_sigma), dtype=x.dtype)
     gw = jnp.asarray(_band_matrix(w, win_size, win_sigma), dtype=x.dtype)
     # precision="highest": the SSIM loss defines quality parity with the
