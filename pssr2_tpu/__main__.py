@@ -20,6 +20,7 @@ def parse():
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
 
+    parser.add_argument("-v", "--version", action="version", version=f"pssr2-tpu {__version__}")
     parser.add_argument("-t", "--train", action="store_true", help="enable train mode")
 
     parser.add_argument("-dp", "--data-path", type=str, help="specify dataset path")
@@ -59,13 +60,16 @@ def main():
 
     from .declaration import handle_declaration
 
-    model_kwargs = {}
+    model_type = args.model_type
     if args.dtype == "bfloat16":
-        import jax.numpy as jnp
+        # inject compute-dtype kwarg into the constructor declaration
+        model_type = (
+            model_type + "(dtype='bfloat16')"
+            if "(" not in model_type
+            else model_type.replace("(", "(dtype='bfloat16', ", 1).replace(", )", ")")
+        )
 
-        model_kwargs["dtype"] = jnp.bfloat16
-
-    model = handle_declaration(args.model_type, ["ResUNet", "ResUNetA", "RDResUNet", "RDResUNetA", "SwinIR"])
+    model = handle_declaration(model_type, ["ResUNet", "ResUNetA", "RDResUNet", "RDResUNetA", "SwinIR"])
     dataset = handle_declaration(
         args.data_type,
         ["ImageDataset", "SlidingDataset", "PairedImageDataset", "PairedSlidingDataset"],

@@ -27,6 +27,13 @@ def torch_bias_init(fan_in: int):
     return init
 
 
+def resolve_dtype(dtype):
+    """Accept jnp dtypes or the strings 'bfloat16'/'float32' (CLI surface)."""
+    if isinstance(dtype, str):
+        return {"bfloat16": jnp.bfloat16, "float32": None, "f32": None, "bf16": jnp.bfloat16}[dtype]
+    return dtype
+
+
 def conv(in_features, out_features, kernel_size, *, rngs, dilation=1, padding="SAME", dtype=None):
     """3x3/1x1 conv with torch-default init (NHWC)."""
     ks = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size

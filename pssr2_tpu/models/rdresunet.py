@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from ..ops.shuffle import pixel_shuffle
-from .blocks import PSPPooling, Reconstruction, batch_norm, force_list, get_resblock
+from .blocks import PSPPooling, Reconstruction, batch_norm, force_list, get_resblock, resolve_dtype
 from .rdnet import RDNet
 
 
@@ -46,6 +46,7 @@ class RDResUNet(nnx.Module):
         (rdresunet.py:8-101); see there for arg docs.
         """
         rngs = nnx.Rngs(0) if rngs is None else rngs
+        dtype = resolve_dtype(dtype)
         hidden = [1024, 1024, 512, 256] if hidden is None else hidden
         growth_rates = [64, 104, 128, 128, 128, 128, 224] if growth_rates is None else growth_rates
         ds_blocks = [False, True, True, False, False, False, True] if ds_blocks is None else ds_blocks

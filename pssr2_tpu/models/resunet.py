@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from ..ops.shuffle import pixel_shuffle
-from .blocks import PSPPooling, Reconstruction, batch_norm, force_list, get_resblock
+from .blocks import PSPPooling, Reconstruction, batch_norm, force_list, get_resblock, resolve_dtype
 
 
 class ResUNet(nnx.Module):
@@ -56,6 +56,7 @@ class ResUNet(nnx.Module):
             rngs : NNX random state. Default Rngs(0).
         """
         rngs = nnx.Rngs(0) if rngs is None else rngs
+        dtype = resolve_dtype(dtype)
         hidden = [64, 128, 256, 512, 1024] if hidden is None else hidden
         channels = force_list(channels)
         channels = channels * 2 if len(channels) == 1 else channels

@@ -345,6 +345,9 @@ class SwinIR(nnx.Module):
         exercises; its PatchEmbed never actually patchifies).
         """
         rngs = nnx.Rngs(0) if rngs is None else rngs
+        from .blocks import resolve_dtype
+
+        dtype = resolve_dtype(dtype)
         depths = [4, 4, 4, 4] if depths is None else depths
         num_heads = [6, 6, 6, 6] if num_heads is None else num_heads
         if len(depths) != len(num_heads):
