@@ -153,3 +153,42 @@ def test_window_attention_matches_torch():
         theirs = (out @ proj_w + proj_b).numpy()
 
     np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_rdnet_block_matches_torch():
+    """RDNet Block/BlockESE vs a torch twin of the reference formulation
+    (_rdnet.py:177-206): 7x7 depthwise conv, LayerNorm2d(eps=1e-6), 1x1 MLP
+    with exact GELU, EffectiveSE (hardsigmoid gate)."""
+    from flax import nnx
+
+    from pssr2_tpu.models.rdnet import Block
+
+    c_in, c_mid, c_out = 8, 16, 8
+    block = Block(c_in, c_mid, c_out, ese=True, rngs=nnx.Rngs(0))
+
+    x = get_image((2, 12, 12, c_in), seed=2).astype(np.float32) / 50.0
+    ours = np.asarray(block(x))
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())  # NCHW
+
+    def conv_t(nconv, groups=1):
+        t = tnn.Conv2d(nconv.kernel.shape[2] * groups, nconv.kernel.shape[3], nconv.kernel.shape[0],
+                       padding=nconv.kernel.shape[0] // 2, groups=groups)
+        _copy_conv(t, nconv)
+        return t
+
+    with torch.no_grad():
+        dw = conv_t(block.dw, groups=c_in)
+        h = dw(xt)
+        ln_w = torch.from_numpy(np.asarray(block.norm.norm.scale[...]).copy())
+        ln_b = torch.from_numpy(np.asarray(block.norm.norm.bias[...]).copy())
+        h = tF.layer_norm(h.permute(0, 2, 3, 1), (c_in,), ln_w, ln_b, eps=1e-6).permute(0, 3, 1, 2)
+        h = conv_t(block.fc1)(h)
+        h = tF.gelu(h)
+        h = conv_t(block.fc2)(h)
+        se = h.mean((2, 3), keepdim=True)
+        se = conv_t(block.ese.fc)(se)
+        h = h * tF.hardsigmoid(se)
+        theirs = np.transpose(h.numpy(), (0, 2, 3, 1))
+
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
