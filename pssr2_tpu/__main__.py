@@ -69,12 +69,20 @@ def main():
             else model_type.replace("(", "(dtype='bfloat16', ", 1).replace(", )", ")")
         )
 
-    model = handle_declaration(model_type, ["ResUNet", "ResUNetA", "RDResUNet", "RDResUNetA", "SwinIR"])
-    dataset = handle_declaration(
-        args.data_type,
-        ["ImageDataset", "SlidingDataset", "PairedImageDataset", "PairedSlidingDataset"],
-        req=[f"'{item.strip()}'" for item in args.data_path.split(",")] + (["val_split=1"] if not args.train else []),
-    )
+    try:
+        model = handle_declaration(model_type, ["ResUNet", "ResUNetA", "RDResUNet", "RDResUNetA", "SwinIR"])
+    except (ValueError, SyntaxError, TypeError) as err:
+        print(f"Invalid --model-type declaration {args.model_type!r}: {err}")
+        return
+    try:
+        dataset = handle_declaration(
+            args.data_type,
+            ["ImageDataset", "SlidingDataset", "PairedImageDataset", "PairedSlidingDataset"],
+            req=[f"'{item.strip()}'" for item in args.data_path.split(",")] + (["val_split=1"] if not args.train else []),
+        )
+    except (ValueError, SyntaxError, TypeError, FileNotFoundError) as err:
+        print(f"Invalid --data-type/--data-path declaration: {err}")
+        return
 
     pssr_head(
         args.train,
