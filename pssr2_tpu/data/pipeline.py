@@ -138,22 +138,41 @@ class PatchLoader:
 
 def prefetch_to_device(iterator, sharding=None, depth: int = 2):
     """Double-buffered host->device transfer: overlaps H2D copies of the next
-    batches with device compute on the current one."""
+    batches with device compute on the current one.
+
+    The producer thread shuts down promptly when the consumer abandons the
+    generator mid-epoch (e.g. an abort callback raising InterruptedError):
+    puts use a timeout and check a stop flag, so no thread lingers blocked.
+    """
     q = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
+
+    def _put(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch, n_valid in iterator:
                 arr = jax.device_put(batch, sharding) if sharding is not None else jnp.asarray(batch)
-                q.put((arr, n_valid))
+                if not _put((arr, n_valid)):
+                    return
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+    finally:
+        stop.set()

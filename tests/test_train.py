@@ -145,3 +145,23 @@ def test_sigterm_graceful_save(tmp_path):
             state_dir=str(state_dir), callbacks=[send_term],
         )
     assert list(state_dir.glob("epoch_*"))  # state saved before exit
+
+
+def test_abort_callback_no_thread_leak(tmp_path):
+    # napari-style abort: callback raises InterruptedError mid-epoch; the
+    # prefetch producer must wind down instead of lingering blocked
+    import threading
+
+    dataset = _dataset(tmp_path, n=8)
+    model = ResUNet(**SMALL)
+
+    def abort(_locals):
+        raise InterruptedError("cancelled")
+
+    before = threading.active_count()
+    with pytest.raises(InterruptedError):
+        train_paired(model, dataset, batch_size=2, loss_fn=MSELoss(), optim=AdamW(1e-3), epochs=1, callbacks=[abort])
+    import time
+
+    time.sleep(1.0)  # give the producer its timeout window
+    assert threading.active_count() <= before + 1
