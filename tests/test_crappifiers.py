@@ -91,3 +91,20 @@ def test_custom_crappifier_has_no_device_fn():
             return image
 
     assert to_device_fn(MyCrap()) is None
+
+
+def test_device_spread_jitters_per_sample():
+    """spread>0 must draw a different intensity per sample on device
+    (the 'train on a range of degradations' semantics, crappifiers.py:56)."""
+    crap = AdditiveGaussian(intensity=10, spread=8)
+    fn = to_device_fn(crap)
+    import jax.numpy as jnp
+    from pssr2_tpu.ops.degrade import crappify_batch
+
+    image = np.full((8, 1, 64, 64), 128, np.float32)
+    out = np.asarray(crappify_batch(fn, jax.random.key(0), jnp.asarray(image)))
+    stds = (out - image).std(axis=(1, 2, 3))
+    # per-sample noise levels differ substantially across the batch
+    assert stds.max() - stds.min() > 2.0
+    # and the mean level is near the nominal intensity
+    assert 5 < stds.mean() < 20

@@ -143,3 +143,14 @@ def test_gradhist_pallas_matches_xla():
     g_ref = jax.grad(lambda v: (ref(v) ** 2).sum())(x)
     g_pal = jax.grad(lambda v: (pal(v) ** 2).sum())(x)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), atol=1e-2)
+
+
+def test_pixel_shuffle_scale4_matches_torch():
+    rng = np.random.default_rng(7)
+    x = rng.random((1, 32, 4, 4)).astype(np.float32)
+    want = torch.pixel_shuffle(torch.from_numpy(x), 4).numpy()
+    got = np.asarray(pixel_shuffle(jnp.asarray(x), 4, channels_last=False))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    x_last = np.transpose(x, (0, 2, 3, 1))
+    got_last = np.asarray(pixel_shuffle(jnp.asarray(x_last), 4, channels_last=True))
+    np.testing.assert_allclose(np.transpose(got_last, (0, 3, 1, 2)), want, atol=1e-6)
