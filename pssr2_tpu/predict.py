@@ -10,6 +10,7 @@ import os
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 from PIL import Image
@@ -315,3 +316,92 @@ def _image_stack(data, max_images: int = 5, raw: bool = True):
     for idx, image in enumerate(images):
         stack.paste(image, (0, height * idx) if raw else (width * idx, 0))
     return stack
+
+
+def predict_sheets(
+    model,
+    dataset,
+    batch_size: int = 16,
+    margin: int = 0,
+    out_dir: str = "sheets",
+    prefix: str = None,
+    mesh=None,
+):
+    """Fast tiled-sheet prediction: window batches -> jitted (optionally
+    mesh-sharded) forward -> on-device overlap-average stitching, in one
+    call — the device-resident equivalent of
+    ``predict_images(out_dir=None)`` + :func:`reassemble_sheets`
+    (reference workflow: pssr/predict.py:11-83 + pssr/util.py:54-137).
+
+    Args:
+        model : Model to receive low-resolution tiles.
+
+        dataset : ``SlidingDataset`` (LR mode for pure prediction, or
+            crappifying — tiles are read via ``__getitem__``).
+
+        batch_size (int) : Tiles per forward.
+
+        margin (int) : Inner-tile margin (output pixels) trimmed before
+            overlap averaging to cut grid artifacts; cannot exceed the
+            output-scaled overlap.
+
+        out_dir (str) : Directory for per-sheet .tif stacks; None returns
+            a list of arrays.
+
+        mesh : Optional mesh for tile-sharded inference.
+
+    Returns:
+        sheets (list[np.ndarray]) when ``out_dir`` is None.
+    """
+    from .data import tiff
+    from .data.indexing import n_tiles as _n_tiles
+    from .ops.stitch import stitch_tiles
+
+    if not hasattr(dataset, "tiles"):
+        raise ValueError("predict_sheets requires a sliding (sheet) dataset.")
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+
+    forward = _eval_forward(model, mesh=mesh, batch_pad=batch_size if mesh is not None else None)
+
+    outs = []
+    base = 0
+    for image_idx in range(len(dataset.hr_files)):
+        n_tile = dataset.tiles[image_idx]
+        n_slices = dataset.slices[image_idx]
+        sheet_shape = dataset._sheet(image_idx).shape
+        tiles_x, tiles_y = _n_tiles(sheet_shape, dataset.hr_res, dataset.stride)
+
+        slice_outputs = []
+        for slice_idx in range(n_slices):
+            tiles_out = []
+            for start in range(0, n_tile, batch_size):
+                idx_batch = [
+                    base + tile_idx * n_slices + slice_idx
+                    for tile_idx in range(start, min(start + batch_size, n_tile))
+                ]
+                items = [dataset[i] for i in idx_batch]
+                lr = np.stack([np.asarray(it if dataset.is_lr else it[1]) for it in items])
+                out = _pred_array(forward(lr))  # uint8 tiles, center frame
+                tiles_out.append(out)
+            tiles_arr = np.concatenate(tiles_out)
+            # a window of hr_res input pixels maps to out_tile output pixels;
+            # the tile overlap scales by the same ratio
+            out_tile = tiles_arr.shape[-1]
+            window = dataset.hr_res
+            overlap_out = (window - dataset.stride) * out_tile // window
+            if margin > overlap_out:
+                raise ValueError(f"margin {margin} cannot exceed the output overlap {overlap_out}.")
+            assembled = stitch_tiles(jnp.asarray(tiles_arr), tiles_x, tiles_y, overlap_out, margin)
+            slice_outputs.append(np.asarray(assembled).squeeze(0) if assembled.shape[0] == 1 else np.asarray(assembled))
+
+        image = np.asarray(np.clip(np.stack(slice_outputs), 0, 255), dtype=np.uint8)
+        name = dataset.hr_files[image_idx].split(".")[0]
+        if out_dir:
+            tiff.imwrite(f"{out_dir}/{prefix + '_' if prefix else ''}{name}.tif", image)
+        else:
+            outs.append(image)
+        base += n_tile * n_slices
+
+    if out_dir is None:
+        return outs

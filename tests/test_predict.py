@@ -100,3 +100,34 @@ def test_reassemble_from_files(tmp_path):
     reassemble_sheets(str(tmp_path / "tiles"), str(tmp_path / "sheets"), lr_scale=1, overlap=64, out_dir=str(tmp_path / "out"))
     out = tiff.imread(tmp_path / "out" / "sheet.tif").squeeze()
     np.testing.assert_allclose(out.astype(np.float32), sheet.astype(np.float32), atol=1.0)
+
+
+def test_predict_sheets_matches_host_reassembly(tmp_path):
+    """The one-call device-stitched path must equal predict_images +
+    reassemble_sheets exactly (same uint8 tiles, same averaging math)."""
+    from pssr2_tpu.predict import predict_sheets
+
+    rng = np.random.default_rng(2)
+    (tmp_path / "sheets").mkdir()
+    for i in range(2):
+        tiff.imwrite(tmp_path / "sheets" / f"s{i}.tif", (rng.random((96, 96)) * 255).astype(np.uint8))
+
+    dataset = SlidingDataset(
+        tmp_path / "sheets", hr_res=32, lr_scale=-1, overlap=16, extension="tif", preload=True, val_split=1
+    )
+    model = ResUNet(hidden=[8, 16], depth=1)
+    model.eval()
+
+    predict_sheets(model, dataset, batch_size=4, margin=8, out_dir=str(tmp_path / "fast"))
+
+    preds = predict_images(model, dataset, out_dir=None, batch_size=4)
+    reassemble_sheets(preds, str(tmp_path / "sheets"), lr_scale=4, overlap=16, margin=8, out_dir=str(tmp_path / "host"))
+
+    # compare by sheet name (reassemble_sheets returns sheets in unsorted
+    # glob order, matching the reference)
+    for name in ("s0", "s1"):
+        f = tiff.imread(tmp_path / "fast" / f"{name}.tif").astype(np.int32).squeeze()
+        h = tiff.imread(tmp_path / "host" / f"{name}.tif").astype(np.int32).squeeze()
+        assert f.shape == h.shape == (384, 384)
+        # identical tiles + identical averaging: at most 1 LSB rounding skew
+        assert np.abs(f - h).max() <= 1
