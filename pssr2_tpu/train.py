@@ -189,6 +189,8 @@ def train_paired(
         loss_fn : Loss callable on [0,1] images (e.g. :class:`SSIMLoss`).
 
         optim : :class:`pssr2_tpu.optim.AdamW` (or compatible wrapper).
+            Optimizer state (moments) is created fresh per call; use
+            ``state_dir`` to carry it across restarts.
 
         epochs (int) : Number of epochs.
 
