@@ -146,9 +146,10 @@ def main():
     batch_size = int(os.environ.get("BENCH_BATCH", 16))
     hr_res = int(os.environ.get("BENCH_HR", 512))
     lr_scale = 4
-    # default f32: matches reference numerics exactly; bf16 compute is ~20%
-    # faster (BENCH_BF16=1) once quality parity is validated at scale
-    use_bf16 = os.environ.get("BENCH_BF16", "0") != "0"
+    # default bf16 compute (f32 params): measured 0.031 dB PSNR delta vs f32
+    # training (experiments/bf16_quality.py) — inside the 0.1 dB parity
+    # budget — for ~20% more throughput.  BENCH_BF16=0 for pure f32.
+    use_bf16 = os.environ.get("BENCH_BF16", "1") != "0"
 
     import jax.numpy as jnp
 
