@@ -361,3 +361,38 @@ def test_preprocess_then_paired_workflow(tmp_path):
     name = paired._get_name(0)
     want_lr = tiff.imread(tmp_path / "pp" / "lr" / f"{name}.tif")
     np.testing.assert_array_equal(lr.squeeze().astype(np.uint8), want_lr)
+
+
+def test_czi_mosaic_subblocks(tmp_path):
+    """Multiple subblocks with start offsets assemble into one plane
+    (mosaic-style czi, as real Zeiss exports produce)."""
+    import struct
+
+    full = (np.random.default_rng(4).random((1, 1, 1, 16, 32)) * 255).astype(np.uint8)
+    # write two side-by-side X-half subblocks by hand using the writer's
+    # segment layout
+    left, right = full[..., :16], full[..., 16:]
+
+    def segment(seg_id, payload, out):
+        alloc = len(payload) + (-len(payload)) % 32
+        out += seg_id.ljust(16, b"\x00") + struct.pack("<qq", alloc, len(payload))
+        out += payload.ljust(alloc, b"\x00")
+
+    def subblock(plane, x_start):
+        dims = [("T", 0, 1, 1), ("Z", 0, 1, 1), ("C", 0, 1, 1), ("Y", 0, 16, 16), ("X", x_start, 16, 16)]
+        entry = b"DV" + struct.pack("<iqii", 0, 0, 0, 0) + b"\x00" * 6 + struct.pack("<i", len(dims))
+        for d, s, sz, st in dims:
+            entry += d.encode().ljust(4, b"\x00") + struct.pack("<iifi", s, sz, 0.0, st)
+        data = plane.tobytes()
+        body = struct.pack("<iiq", 0, 0, len(data)) + entry
+        return body.ljust(max(256, 16 + len(entry)), b"\x00") + data
+
+    out = bytearray()
+    segment(b"ZISRAWFILE", b"\x00" * 512, out)
+    segment(b"ZISRAWSUBBLOCK", subblock(left.squeeze((0, 1, 2)), 0), out)
+    segment(b"ZISRAWSUBBLOCK", subblock(right.squeeze((0, 1, 2)), 16), out)
+    (tmp_path / "m.czi").write_bytes(bytes(out))
+
+    arr, axes = czi.read_czi(tmp_path / "m.czi")
+    assert axes.endswith("YX")
+    np.testing.assert_array_equal(arr.reshape(16, 32), full.squeeze())
