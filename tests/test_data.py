@@ -396,3 +396,35 @@ def test_czi_mosaic_subblocks(tmp_path):
     arr, axes = czi.read_czi(tmp_path / "m.czi")
     assert axes.endswith("YX")
     np.testing.assert_array_equal(arr.reshape(16, 32), full.squeeze())
+
+
+def test_index_arithmetic_fuzz():
+    """Randomized configs: flat-index maps are a bijection onto
+    (image, tile, slice) triples; val/train indices partition the dataset."""
+    from pssr2_tpu.data.indexing import get_image_idx, get_val_idx, invert_idx
+
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        n_images = int(rng.integers(1, 6))
+        slices = [int(rng.integers(1, 5)) for _ in range(n_images)]
+        with_tiles = bool(rng.integers(0, 2))
+        tiles = [int(rng.integers(1, 4)) for _ in range(n_images)] if with_tiles else None
+
+        total = sum(s * t for s, t in zip(slices, tiles or [1] * n_images))
+        seen = set()
+        for flat in range(total):
+            image_idx, res = get_image_idx(flat, slices, tiles)
+            assert 0 <= image_idx < n_images
+            cap = slices[image_idx] * (tiles[image_idx] if tiles else 1)
+            assert 0 <= res < cap
+            seen.add((image_idx, res))
+        assert len(seen) == total  # bijection
+
+        split = float(rng.uniform(0.05, 1.0))
+        seed = int(rng.integers(0, 100))
+        val = get_val_idx(slices, split, seed, tiles)
+        assert len(val) >= min(slices)  # always >= 1 image's worth
+        train = list(invert_idx(val, total))
+        assert sorted(val + train) == list(range(total))  # exact partition
+        # deterministic under the same seed
+        assert val == get_val_idx(slices, split, seed, tiles)
