@@ -192,3 +192,57 @@ def test_rdnet_block_matches_torch():
         theirs = np.transpose(h.numpy(), (0, 2, 3, 1))
 
     np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_psp_upsample_semantics_match_torch():
+    """PSP pooling's bilinear upsample must equal torch
+    F.interpolate(mode='bilinear', align_corners=False) (reference
+    _blocks.py:87)."""
+    import jax
+    import jax.numpy as jnp
+
+    small = get_image((1, 2, 2, 1), seed=3).astype(np.float32) / 255
+    uj = np.asarray(jax.image.resize(jnp.asarray(small), (1, 8, 8, 1), method="bilinear")).squeeze()
+    ut = (
+        tF.interpolate(torch.from_numpy(np.transpose(small, (0, 3, 1, 2))), size=(8, 8), mode="bilinear")
+        .numpy()
+        .squeeze()
+    )
+    np.testing.assert_allclose(uj, ut, atol=1e-6)
+
+
+def test_resblocka_matches_torch():
+    """Atrous residual block: BN -> ReLU -> dilated conv ordering and the
+    parallel-branch sum (reference _blocks.py:43-68)."""
+    from flax import nnx
+
+    from pssr2_tpu.models.blocks import ResBlockA
+
+    c_in, c_out, dils, depth = 4, 8, [1, 3], 1
+    block = ResBlockA(c_in, c_out, dils, depth, rngs=nnx.Rngs(0))
+    block.eval()  # running BatchNorm stats, matching the torch twin
+
+    x = get_image((1, 16, 16, c_in), seed=4).astype(np.float32) / 50
+    ours = np.asarray(block(x))
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+    with torch.no_grad():
+        total = None
+        for b_idx, dilation in enumerate(dils):
+            h = xt
+            for l_idx in range(depth + 1):
+                bn_n, conv_n = block.branches[b_idx][l_idx]
+                cin = h.shape[1]
+                tbn = tnn.BatchNorm2d(cin)
+                _copy_bn(tbn, bn_n)
+                tbn.eval()
+                h = tF.relu(tbn(h))
+                tconv = tnn.Conv2d(cin, c_out, 3, padding=dilation, dilation=dilation)
+                _copy_conv(tconv, conv_n)
+                h = tconv(h)
+            total = h if total is None else total + h
+        tres = tnn.Conv2d(c_in, c_out, 1)
+        _copy_conv(tres, block.respass)
+        theirs = tF.relu(total + tres(xt)).numpy()
+
+    np.testing.assert_allclose(ours, np.transpose(theirs, (0, 2, 3, 1)), atol=1e-4)
