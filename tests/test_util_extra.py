@@ -159,3 +159,16 @@ def test_lr_finder(tmp_path):
     after = nnx.to_pure_dict(nnx.state(model, nnx.Param))
     for a, b in zip(__import__("jax").tree.leaves(before), __import__("jax").tree.leaves(after)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_profiler_trace(tmp_path):
+    import jax.numpy as jnp
+
+    from pssr2_tpu.profiler import annotate, trace
+
+    with trace(str(tmp_path / "prof")):
+        with annotate("work"):
+            (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    # a plugins/profile/<ts>/ dir with trace artifacts appears
+    produced = list((tmp_path / "prof").rglob("*"))
+    assert produced, "profiler wrote no trace artifacts"
