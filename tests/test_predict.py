@@ -131,3 +131,33 @@ def test_predict_sheets_matches_host_reassembly(tmp_path):
         assert f.shape == h.shape == (384, 384)
         # identical tiles + identical averaging: at most 1 LSB rounding skew
         assert np.abs(f - h).max() <= 1
+
+
+def test_error_paths(tmp_path):
+    import pytest as _pytest
+
+    from pssr2_tpu.predict import predict_sheets
+    from pssr2_tpu.parallel import data_mesh
+    from pssr2_tpu.parallel.spatial import predict_sheet
+
+    dataset = _dataset(tmp_path)
+    model = ResUNet(**SMALL)
+
+    # norm on an LR-mode dataset is rejected
+    make_tifs(tmp_path / "lr_only", get_shape(32, batch=2))
+    lr_ds = ImageDataset(tmp_path / "lr_only", hr_res=128, val_split=1)
+    assert lr_ds.is_lr
+    with _pytest.raises(ValueError, match="paired"):
+        predict_images(model, lr_ds, norm=True, out_dir=None)
+
+    # predict_sheets needs a sliding dataset
+    with _pytest.raises(ValueError, match="sliding"):
+        predict_sheets(model, dataset)
+
+    # reassemble margin > overlap is rejected
+    with _pytest.raises(ValueError, match="margin"):
+        reassemble_sheets({}, str(tmp_path), lr_scale=4, overlap=2, margin=8)
+
+    # spatial halo must be smaller than the shard height
+    with _pytest.raises(ValueError, match="halo"):
+        predict_sheet(model, np.zeros((1, 64, 64), np.float32), data_mesh(), halo=32)
