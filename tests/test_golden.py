@@ -69,3 +69,23 @@ def test_training_reduces_loss(tmp_path):
         log_frequency=1, seed=0,
     )
     assert losses[-1] < losses[0] * 0.5, f"loss did not improve: {losses[0]:.4f} -> {losses[-1]:.4f}"
+
+
+def test_gen_pair_golden():
+    """Regression-lock the full host pair chain: crop/pad -> rot/flip ->
+    PIL-matched downscale -> Poisson crappify -> uint8 rounding."""
+    import random
+
+    from pssr2_tpu.crappifiers import Poisson
+    from pssr2_tpu.data.io import gen_pair
+
+    rng = np.random.default_rng(11)
+    img = (rng.random((1, 96, 96)) * 255).astype(np.uint8)
+    np.random.seed(77)
+    random.seed(77)
+    hr, lr = gen_pair(img, 64, 4, [True, (1, 2)], Poisson(), None, None)
+    assert hr.shape == (1, 64, 64) and lr.shape == (1, 16, 16)
+    assert float(hr.mean()) == pytest.approx(126.939941, abs=1e-3)
+    assert float(hr.std()) == pytest.approx(72.697350, abs=1e-3)
+    assert float(lr.mean()) == pytest.approx(126.476562, abs=1e-3)
+    assert float(lr.std()) == pytest.approx(17.125439, abs=1e-3)
