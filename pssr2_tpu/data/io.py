@@ -18,6 +18,10 @@ from pathlib import Path
 import numpy as np
 from PIL import Image
 
+# microscopy sheets routinely exceed PIL's decompression-bomb threshold
+# (reference: pssr/train.py:17)
+Image.MAX_IMAGE_PIXELS = None
+
 from ..crappifiers import Crappifier
 from ..ops.resize import resize_bilinear_np
 from . import tiff
