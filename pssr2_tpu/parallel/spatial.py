@@ -28,7 +28,28 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 
-def predict_sheet(model, lr_sheet, mesh, halo: int = 32, axis: str = "data"):
+def receptive_field_radius(model) -> int:
+    """Conservative receptive-field radius (input pixels) for choosing a
+    seam-free ``halo``.  Supported analytically for ResUNet-family models;
+    for other architectures pass ``halo`` explicitly.
+
+    ResUNet: each level runs (depth+1) 3x3 convs (radius 1) at an effective
+    stride of 2^level, encoder + decoder both touch every level, plus the
+    1-radius convs in the reconstruction head.
+    """
+    encoder = getattr(model, "encoder", None)
+    if encoder is None or not hasattr(model, "reconstruction"):
+        raise ValueError(
+            f"receptive_field_radius supports ResUNet-family models; pass halo explicitly for {type(model).__name__}."
+        )
+    levels = len(encoder)
+    depth = getattr(model, "depth", 3)
+    per_level = depth + 1
+    radius = sum(2 * per_level * (2**level) for level in range(levels))  # enc+dec
+    return radius + 2  # reconstruction head convs
+
+
+def predict_sheet(model, lr_sheet, mesh, halo: int = None, axis: str = "data"):
     """Seam-free super-resolution of one large LR image across the mesh.
 
     Args:
@@ -39,13 +60,16 @@ def predict_sheet(model, lr_sheet, mesh, halo: int = 32, axis: str = "data"):
 
         mesh : ``jax.sharding.Mesh`` with the sharding axis.
 
-        halo (int) : Boundary rows exchanged between neighbor chips; must be
-            at least half the model's receptive field for exact seam-free
-            output, and <= the per-device shard height.
+        halo (int) : Boundary rows exchanged between neighbor chips; must
+            cover the model's receptive-field radius for exact seam-free
+            output, and be smaller than the per-device shard height.
+            Default None derives it via :func:`receptive_field_radius`.
 
     Returns:
         (C, H*scale, W*scale) numpy array.
     """
+    if halo is None:
+        halo = receptive_field_radius(model)
     model.eval()
     graphdef, state = nnx.split(model)
     scale = getattr(model, "scale", None) or getattr(model, "upscale", 1)

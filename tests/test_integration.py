@@ -154,3 +154,24 @@ def test_spatial_parallel_sheet_matches_full_forward(tmp_path):
     m = 32 * 4
     np.testing.assert_allclose(sharded[:, m:-m], full[:, m:-m], atol=2e-2)
     assert np.abs(sharded - full).mean() < 0.5
+
+
+def test_spatial_auto_halo_exact():
+    """Auto-derived halo (receptive_field_radius) gives an exact seam-free
+    interior for a small ResUNet."""
+    from pssr2_tpu.parallel import data_mesh
+    from pssr2_tpu.parallel.spatial import predict_sheet, receptive_field_radius
+
+    model = ResUNet(hidden=[8, 16], depth=1)
+    model.eval()
+    r = receptive_field_radius(model)
+    assert 10 <= r <= 64  # 2 levels, depth 1
+
+    rng = np.random.default_rng(1)
+    sheet = (rng.random((1, 8 * (r + 16), 64)) * 255).astype(np.float32)
+    import jax.numpy as jnp
+
+    full = np.asarray(model(jnp.asarray(sheet)[None]))[0]
+    sharded = predict_sheet(model, sheet, data_mesh())  # halo=None -> auto
+    m = r * 4
+    np.testing.assert_allclose(sharded[:, m:-m], full[:, m:-m], atol=2e-2)
