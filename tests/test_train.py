@@ -165,3 +165,31 @@ def test_abort_callback_no_thread_leak(tmp_path):
 
     time.sleep(1.0)  # give the producer its timeout window
     assert threading.active_count() <= before + 1
+
+
+def test_train_clamp_and_plateau(tmp_path):
+    from pssr2_tpu.optim import ReduceLROnPlateau
+
+    dataset = _dataset(tmp_path)
+    model = ResUNet(**SMALL)
+    optim = AdamW(1e-3)
+    sched = ReduceLROnPlateau(optim, patience=0, factor=0.5)
+    losses, val = train_paired(
+        model, dataset, batch_size=2, loss_fn=MSELoss(), optim=optim, epochs=3,
+        clamp=True, scheduler=sched,
+    )
+    assert len(val) == 3
+    # plateau scheduler received the val metric (patience=0: any non-improving
+    # epoch halves the lr)
+    assert optim.lr <= 1e-3
+
+
+def test_train_paired_on_paired_dataset(tmp_path):
+    from pssr2_tpu.data import PairedImageDataset
+
+    make_tifs(tmp_path / "hr", get_shape(HR, batch=4))
+    make_tifs(tmp_path / "lr", get_shape(HR // 4, batch=4))
+    dataset = PairedImageDataset(tmp_path / "hr", tmp_path / "lr", hr_res=HR, val_split=0.5, split_seed=0)
+    model = ResUNet(**SMALL)
+    losses, val = train_paired(model, dataset, batch_size=2, loss_fn=MSELoss(), optim=AdamW(1e-3), epochs=1)
+    assert all(np.isfinite(v) for v in losses) and len(val) == 1
