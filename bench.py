@@ -64,9 +64,11 @@ def _sync(out):
     return float(out.reshape(-1)[0])
 
 
-def _time_steps(fn, n_warmup=3, n_steps=8, n_trials=5):
-    """Median-of-trials steps/sec, synced by fetching the step's scalar
-    output (dispatches pipeline within a trial; the fetch drains the queue)."""
+def _time_steps(fn, n_warmup=3, n_steps=8, n_trials=5, agg="median"):
+    """Steps/sec over trials, synced by fetching the step's scalar output
+    (dispatches pipeline within a trial; the fetch drains the queue).
+    agg="median" for the measured config; agg="max" (fastest trial) for the
+    baseline so vs_baseline stays conservative under host-load noise."""
     import statistics
 
     for _ in range(n_warmup):
@@ -78,7 +80,7 @@ def _time_steps(fn, n_warmup=3, n_steps=8, n_trials=5):
             out = fn()
         _sync(out)
         rates.append(n_steps / (time.perf_counter() - start))
-    return statistics.median(rates)
+    return max(rates) if agg == "max" else statistics.median(rates)
 
 
 def infer_main():
@@ -114,7 +116,7 @@ def infer_main():
     # reference-architecture baseline: per-tile (batch 1) eval, the
     # reference's default predict path (pssr/predict.py:39 batch_size None=1)
     lr1 = lr[:1]
-    single_sps = _time_steps(lambda: forward(state, lr1), n_trials=3)
+    single_sps = _time_steps(lambda: forward(state, lr1), n_trials=3, agg="max")
 
     print(
         json.dumps(
@@ -183,7 +185,7 @@ def main():
         loss, _, _ = host_step((jnp.asarray(hr_np), jnp.asarray(lr)), None, key, optim.lr, batch_size, False)
         return loss
 
-    host_sps = _time_steps(run_host, n_warmup=2, n_steps=4, n_trials=3)
+    host_sps = _time_steps(run_host, n_warmup=2, n_steps=4, n_trials=3, agg="max")
     host_pps = host_sps * batch_size
 
     print(
