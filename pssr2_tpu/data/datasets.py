@@ -75,6 +75,25 @@ def _random_rotation():
     return [bool(random.getrandbits(1)), random.choice((1, 2, (1, 2)))]
 
 
+def _check_extra_shape(file, shape, frames, extra_shape, extra_frames, extra_scale, n_frames):
+    """Init-time validation of extra-image shape/frame-count agreement,
+    with the reference's explanatory errors (reference: pssr/data.py:76-80,
+    212-216) instead of opaque stacking failures mid-training."""
+    needed_extra = tuple(size * extra_scale for size in shape)
+    if tuple(extra_shape) != needed_extra:
+        raise ValueError(
+            f'The corresponding image to "{file}" does not have the correct shape. '
+            f'From image shape of {tuple(shape)} and "extra_scale" of {extra_scale}, '
+            f"expected extra image shape of {needed_extra}, but got {tuple(extra_shape)}."
+        )
+    if frames != extra_frames and n_frames is not None:
+        raise ValueError(
+            f'The corresponding image to "{file}" does not have the correct number of '
+            f"frames. n_frames must be -1 if number of image and extra_image frames are "
+            f"not equal. Respective number of frames are {frames} and {extra_frames}"
+        )
+
+
 class _DatasetBase:
     """Shared iteration protocol (stands in for torch.utils.data.Dataset)."""
 
@@ -134,7 +153,17 @@ class ImageDataset(_DatasetBase):
 
         self.slices, max_size = [], 0
         for image_idx in range(len(self.hr_files)):
-            frames, size = probe_frames_and_size(self.path, self.hr_files[image_idx])
+            if self.extra_hr_files is not None:
+                from .io import probe_shape
+
+                frames, shape = probe_shape(self.path, self.hr_files[image_idx])
+                size = max(shape)
+                eframes, eshape = probe_shape(self.extra_path, self.extra_hr_files[image_idx])
+                _check_extra_shape(
+                    self.hr_files[image_idx], shape, frames, eshape, eframes, extra_scale, self.n_frames
+                )
+            else:
+                frames, size = probe_frames_and_size(self.path, self.hr_files[image_idx])
             self.slices.append(1 if self.n_frames is None else frames // max(self.n_frames))
             max_size = max(size, max_size)
 
@@ -318,6 +347,22 @@ class SlidingDataset(_DatasetBase):
                 )
             )
 
+            if self.extra_hr_files is not None:
+                extra_image = (
+                    self.extra_preload[image_idx]
+                    if self.extra_preload
+                    else load_sheet(self.extra_path, self.extra_hr_files[image_idx], self.stack, self.mode)
+                )
+                _check_extra_shape(
+                    self.hr_files[image_idx],
+                    image.shape[1:],
+                    image.shape[0],
+                    extra_image.shape[1:],
+                    extra_image.shape[0],
+                    extra_scale,
+                    self.n_frames,
+                )
+
         self.val_idx = get_val_idx(self.slices, val_split, split_seed, self.tiles)
         self.crop_res = hr_res
 
@@ -429,7 +474,12 @@ class SlidingDataset(_DatasetBase):
             nf = frames if frames is not None else sheet.shape[0]
             per_sheet.setdefault(image_idx, []).append((pos, (f0 if frames is not None else 0, y0, x0), nf))
 
-        nf0 = next(iter(per_sheet.values()))[0][2]
+        nf_values = {nf for entries in per_sheet.values() for _, _, nf in entries}
+        if len(nf_values) != 1:
+            # mixed frame counts across sheets (n_frames=None): the batch
+            # isn't rectangular -> host per-index fallback
+            return None
+        nf0 = nf_values.pop()
         out = np.empty((len(indices), nf0, self.hr_res, self.hr_res), dtype=np.uint8)
         for image_idx, entries in per_sheet.items():
             coords = np.asarray([c for _, c, _ in entries], dtype=np.int64)

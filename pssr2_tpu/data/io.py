@@ -117,6 +117,22 @@ def probe_frames_and_size(path, file):
     return getattr(image, "n_frames", 1), max(image.size)
 
 
+def probe_shape(path, file):
+    """(n_frames, (height, width)) metadata probe without decoding pixel
+    data where possible — for init-time extra_path shape validation
+    (reference: pssr/data.py:76-80)."""
+    extension = file.split(".")[-1].lower()
+    full = Path(path, file)
+    if extension in ("tif", "tiff"):
+        try:
+            n, (h, w) = tiff.num_pages_and_size(full)
+            return n, (h, w)
+        except Exception:
+            pass
+    image = Image.open(full)
+    return getattr(image, "n_frames", 1), (image.size[1], image.size[0])
+
+
 def square_crop(image, max_res):
     """Center square crop (reference: pssr/data.py:536-546)."""
     height, width = image.shape[-2:]

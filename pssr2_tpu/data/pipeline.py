@@ -158,11 +158,16 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
         return False
 
     def producer():
+        # Loader errors (corrupt file, tile-extraction ValueError, ...) are
+        # forwarded to the consumer and re-raised there — NOT treated as a
+        # clean end-of-epoch, which would silently train on truncated data.
         try:
             for batch, n_valid in iterator:
                 arr = jax.device_put(batch, sharding) if sharding is not None else jnp.asarray(batch)
                 if not _put((arr, n_valid)):
                     return
+        except BaseException as exc:  # noqa: BLE001 - forwarded, not swallowed
+            _put(exc)
         finally:
             _put(sentinel)
 
@@ -173,6 +178,8 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         stop.set()

@@ -428,3 +428,88 @@ def test_index_arithmetic_fuzz():
         assert sorted(val + train) == list(range(total))  # exact partition
         # deterministic under the same seed
         assert val == get_val_idx(slices, split, seed, tiles)
+
+
+def test_extra_path_shape_validation(tmp_path):
+    """Mismatched extra-image shapes are rejected at init with the
+    reference's explanatory error (reference: pssr/data.py:76-80), not as
+    an opaque stacking failure mid-training (ADVICE r1)."""
+    from pssr2_tpu.data.tiff import imwrite
+
+    make_tifs(tmp_path / "images", get_shape(128, batch=2))
+    (tmp_path / "extra").mkdir()
+    for idx in range(2):
+        imwrite(
+            f"{tmp_path}/extra/temp_tif_{idx}.tif",
+            (np.random.rand(96, 96) * 255).astype(np.uint8),
+        )
+    with pytest.raises(ValueError, match="does not have the correct shape"):
+        ImageDataset(tmp_path / "images", hr_res=128, extra_path=tmp_path / "extra")
+    # matching shapes with extra_scale pass
+    (tmp_path / "extra2").mkdir()
+    for idx in range(2):
+        imwrite(
+            f"{tmp_path}/extra2/temp_tif_{idx}.tif",
+            (np.random.rand(256, 256) * 255).astype(np.uint8),
+        )
+    ImageDataset(tmp_path / "images", hr_res=128, extra_path=tmp_path / "extra2", extra_scale=2)
+
+
+def test_extra_path_frames_validation(tmp_path):
+    """Frame-count mismatch between path and extra_path raises at init
+    unless n_frames is None (reference: pssr/data.py:80)."""
+    from pssr2_tpu.data.tiff import imwrite
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "extra").mkdir()
+    imwrite(f"{tmp_path}/images/a.tif", (np.random.rand(4, 64, 64) * 255).astype(np.uint8))
+    imwrite(f"{tmp_path}/extra/a.tif", (np.random.rand(2, 64, 64) * 255).astype(np.uint8))
+    with pytest.raises(ValueError, match="correct number of frames"):
+        ImageDataset(tmp_path / "images", hr_res=64, n_frames=2, extra_path=tmp_path / "extra")
+    # n_frames=None tolerates unequal frame counts (reference semantics)
+    ImageDataset(tmp_path / "images", hr_res=64, n_frames=None, extra_path=tmp_path / "extra")
+
+
+def test_sliding_extra_path_shape_validation(tmp_path):
+    from pssr2_tpu.data.tiff import imwrite
+
+    (tmp_path / "sheets").mkdir()
+    (tmp_path / "extra").mkdir()
+    imwrite(f"{tmp_path}/sheets/a.tif", (np.random.rand(2, 256, 256) * 255).astype(np.uint8))
+    imwrite(f"{tmp_path}/extra/a.tif", (np.random.rand(2, 200, 256) * 255).astype(np.uint8))
+    with pytest.raises(ValueError, match="does not have the correct shape"):
+        SlidingDataset(tmp_path / "sheets", hr_res=128, overlap=0, extra_path=tmp_path / "extra")
+
+
+def test_hr_patch_batch_mixed_frame_counts(tmp_path):
+    """n_frames=None + preloaded sheets with differing frame counts: the
+    native batched gather must fall back (return None) instead of
+    mis-shaping other sheets' tiles (ADVICE r1)."""
+    from pssr2_tpu.data.tiff import imwrite
+
+    (tmp_path / "sheets").mkdir()
+    imwrite(f"{tmp_path}/sheets/a.tif", (np.random.rand(2, 128, 128) * 255).astype(np.uint8))
+    imwrite(f"{tmp_path}/sheets/b.tif", (np.random.rand(3, 128, 128) * 255).astype(np.uint8))
+    dataset = SlidingDataset(
+        tmp_path / "sheets", hr_res=64, overlap=0, n_frames=None, preload=True, rotation=False
+    )
+    batch = dataset.hr_patch_batch(list(range(len(dataset))))
+    assert batch is None  # host fallback; PatchLoader then goes per-index
+    # and the per-index path still works for every index
+    for idx in range(len(dataset)):
+        assert dataset.hr_patch(idx).shape[-1] == 64
+
+
+def test_prefetch_propagates_loader_errors():
+    """Loader exceptions must surface in the consumer, not silently end the
+    epoch early (ADVICE r1)."""
+    from pssr2_tpu.data.pipeline import prefetch_to_device
+
+    def bad_iter():
+        yield np.zeros((2, 1, 8, 8), np.uint8), 2
+        raise RuntimeError("corrupt file")
+
+    it = prefetch_to_device(bad_iter())
+    next(it)
+    with pytest.raises(RuntimeError, match="corrupt file"):
+        next(it)

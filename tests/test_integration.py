@@ -175,3 +175,68 @@ def test_spatial_auto_halo_exact():
     sharded = predict_sheet(model, sheet, data_mesh())  # halo=None -> auto
     m = r * 4
     np.testing.assert_allclose(sharded[:, m:-m], full[:, m:-m], atol=2e-2)
+
+
+def test_spatial_pool_grid_alignment_3level():
+    """Seam-freeness on a 3-level model whose auto halo (30) is NOT a
+    multiple of the pooling granularity (4): the halo must be rounded up
+    and the shard extent padded to the pooling grid, or each shard's
+    max_pool windows are offset vs the unsharded forward (ADVICE r1)."""
+    from pssr2_tpu.parallel import data_mesh
+    from pssr2_tpu.parallel.spatial import (
+        pool_granularity,
+        predict_sheet,
+        receptive_field_radius,
+    )
+
+    model = ResUNet(hidden=[8, 16, 32], depth=1)
+    model.eval()
+    r = receptive_field_radius(model)
+    assert r % pool_granularity(model) != 0  # the misaligned case
+
+    rng = np.random.default_rng(2)
+    sheet = (rng.random((1, 8 * 40, 48)) * 255).astype(np.float32)
+    import jax.numpy as jnp
+
+    full = np.asarray(model(jnp.asarray(sheet)[None]))[0]
+    sharded = predict_sheet(model, sheet, data_mesh())
+    m = (r + 4) * 4
+    np.testing.assert_allclose(sharded[:, m:-m], full[:, m:-m], atol=2e-2)
+
+
+def test_spatial_width_axis():
+    """Width-dimension sharding is exact in the interior, like height."""
+    from pssr2_tpu.parallel import data_mesh
+    from pssr2_tpu.parallel.spatial import predict_sheet
+
+    model = ResUNet(hidden=[8, 16], depth=1)
+    model.eval()
+
+    rng = np.random.default_rng(3)
+    sheet = (rng.random((1, 48, 8 * 34)) * 255).astype(np.float32)
+    import jax.numpy as jnp
+
+    full = np.asarray(model(jnp.asarray(sheet)[None]))[0]
+    sharded = predict_sheet(model, sheet, data_mesh(), halo=16, dim="width")
+    m = 16 * 4
+    np.testing.assert_allclose(sharded[:, :, m:-m], full[:, :, m:-m], atol=2e-2)
+
+
+def test_spatial_2d_halo():
+    """2-D (height x width) shard grid with two-phase halo exchange is
+    exact in the interior (corners carried by the phased exchange)."""
+    from pssr2_tpu.parallel.mesh import data_model_mesh
+    from pssr2_tpu.parallel.spatial import predict_sheet_2d
+
+    model = ResUNet(hidden=[8, 16], depth=1)
+    model.eval()
+
+    mesh = data_model_mesh(model_parallel=2)  # (data=4, model=2)
+    rng = np.random.default_rng(4)
+    sheet = (rng.random((1, 4 * 48, 2 * 48)) * 255).astype(np.float32)
+    import jax.numpy as jnp
+
+    full = np.asarray(model(jnp.asarray(sheet)[None]))[0]
+    sharded = predict_sheet_2d(model, sheet, mesh, axes=("data", "model"))
+    m = 16 * 4
+    np.testing.assert_allclose(sharded[:, m:-m, m:-m], full[:, m:-m, m:-m], atol=2e-2)
