@@ -5,10 +5,10 @@ Times individual pieces of the canonical ResUNet x4 config (batch 16,
 vs roofline, so kernel work targets the real bottleneck instead of a guess.
 
 Harness note: a single dispatch through the axon tunnel costs ~3 ms of
-fixed overhead, which drowns sub-10ms ops.  Each op is therefore run inside
-a jitted fori_loop at two loop lengths and timed by the SLOPE
-(t_hi - t_lo) / (k_hi - k_lo), which cancels dispatch and any per-program
-constant work.
+fixed overhead with ~1 ms jitter, which drowns sub-ms ops.  Each op is
+therefore run inside a jitted fori_loop at two loop lengths and timed by
+the SLOPE (t_hi - t_lo) / (k_hi - k_lo) with a large delta-K, which
+cancels dispatch and any per-program constant work.
 
 Run:  python experiments/mxu_probe.py   (axon TPU; ~20-40 min incl. compiles)
 Output: one JSON line per measurement to stdout + experiments/mxu_probe.json
@@ -27,8 +27,6 @@ RESULTS = []
 
 PEAK_TFLOPS_BF16 = 197.0  # v5e MXU peak
 PEAK_HBM_GBS = 819.0  # v5e HBM bandwidth
-
-K_LO, K_HI = 3, 19
 
 
 def record(name, seconds, flops=0, bytes_moved=0):
@@ -55,7 +53,7 @@ def main():
     def sync(v):
         return float(jnp.ravel(v)[0])
 
-    def op_time(fn, x, reps=3):
+    def op_time(fn, x, k_lo=4, k_hi=260, reps=3):
         """Per-iteration seconds of fn(x)->array via the two-length slope."""
 
         def runner(k):
@@ -69,7 +67,7 @@ def main():
 
             return run
 
-        lo, hi = runner(K_LO), runner(K_HI)
+        lo, hi = runner(k_lo), runner(k_hi)
         sync(lo(x)), sync(hi(x))  # compile
         times = {}
         for name, r in (("lo", lo), ("hi", hi)):
@@ -79,7 +77,7 @@ def main():
                 sync(r(x))
                 best = min(best, time.perf_counter() - t0)
             times[name] = best
-        return (times["hi"] - times["lo"]) / (K_HI - K_LO)
+        return (times["hi"] - times["lo"]) / (k_hi - k_lo)
 
     print(f"devices: {jax.devices()}", flush=True)
     B = 16
@@ -88,7 +86,7 @@ def main():
 
     # ---- calibration: big matmul + copy ----------------------------------
     a = jax.random.normal(key, (8192, 8192), bf16)
-    record("calib matmul 8192^3 bf16", op_time(lambda a: a @ a, a), flops=2 * 8192**3)
+    record("calib matmul 8192^3 bf16", op_time(lambda a: a @ a, a, 2, 34), flops=2 * 8192**3)
 
     big = jax.random.normal(key, (64, 1024, 1024), bf16)  # 128 MB
     record(
@@ -123,93 +121,94 @@ def main():
     for name, hw, cin, cout in shapes:
         x = jax.random.normal(key, (B, hw, hw, cin), bf16)
         w = jax.random.normal(key, (3, 3, cin, cout), bf16)
-        t = op_time(make_conv(w), x)
+        klo, khi = (4, 260) if hw * hw * cin * cout < 2**29 else (3, 35)
+        t = op_time(make_conv(w), x, klo, khi)
         record(f"conv {name}", t, flops=conv_flops(B, hw, hw, cin, cout),
                bytes_moved=2 * (B * hw * hw * (cin + cout)))
 
-    # 9-shifted-matmul formulation
-    def make_conv9(w):
+    # final conv via the exact tap-matmul reformulation:
+    # Z = X @ W^T over channels per tap (MXU, N=9), then 9 shifted adds (VPU)
+    def make_final_tap(w):
         def f(x):
             Bs, H, W, C = x.shape
-            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-            out = None
-            for u in range(3):
-                for v in range(3):
-                    xs = xp[:, u : u + H, v : v + W, :].reshape(-1, C)
-                    t = jnp.dot(xs, w[u, v], preferred_element_type=jnp.float32)
-                    out = t if out is None else out + t
-            return out.reshape(Bs, H, W, -1).astype(bf16)
-
-        return f
-
-    for name, hw, cin, cout in [("enc1 64->64 @128", 128, 64, 64), ("recon 65->1024 @128", 128, 65, 1024)]:
-        x = jax.random.normal(key, (B, hw, hw, cin), bf16)
-        w = jax.random.normal(key, (3, 3, cin, cout), bf16)
-        record(f"conv9 {name}", op_time(make_conv9(w), x), flops=conv_flops(B, hw, hw, cin, cout))
-
-    # final conv as VPU weighted-shift sum (no MXU N-padding waste)
-    def make_final_vpu(w):
-        def f(x):
-            Bs, H, W, C = x.shape
-            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-            out = jnp.zeros((Bs, H, W), jnp.float32)
-            for u in range(3):
-                for v in range(3):
-                    out = out + jnp.einsum(
-                        "bhwc,c->bhw", xp[:, u : u + H, v : v + W, :], w[u, v, :, 0],
-                        preferred_element_type=jnp.float32,
-                    )
+            wt = w[..., 0].reshape(9, C).T
+            z = jnp.dot(x.reshape(-1, C), wt, preferred_element_type=jnp.float32)
+            z = z.reshape(Bs, H, W, 9)
+            zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            out = sum(zp[:, u : u + H, v : v + W, 3 * u + v] for u in range(3) for v in range(3))
             return out[..., None].astype(bf16)
 
         return f
 
     x = jax.random.normal(key, (B, 512, 512, 64), bf16)
     w = jax.random.normal(key, (3, 3, 64, 1), bf16)
-    record("final 64->1 @512 VPU-sum", op_time(make_final_vpu(w), x),
+    record("final tap-matmul 64->1 @512", op_time(make_final_tap(w), x, 3, 67),
            flops=conv_flops(B, 512, 512, 64, 1), bytes_moved=2 * x.size)
 
-    # final conv folded before pixel-shuffle:
-    # conv(shuffle(x), w[3,3,64,1]) == shuffle(conv1x1-ish over phases).
-    # measure the matmul-shaped alternative: x(B,128,128,1024) -> 16 phases
-    # This is the "phase conv": for each of the 16 output phases, a 3x3x64
-    # gather over specific input channels; expressed densely as one matmul
-    # over K=9*64 per phase is 16 matmuls N=1... instead approximate cost
-    # with a single dense (B*128*128, 576) @ (576, 16) matmul:
-    xs = jax.random.normal(key, (B * 128 * 128, 576), bf16)
-    wp = jax.random.normal(key, (576, 16), bf16)
-    record("phase-matmul (BHW,576)@(576,16)",
-           op_time(lambda xs: jnp.dot(xs, wp, preferred_element_type=jnp.float32).astype(bf16), xs),
-           flops=2 * xs.shape[0] * 576 * 16, bytes_moved=2 * (xs.size + xs.shape[0] * 16))
+    # taps-leading variant (z kept (9, BHW) to dodge lane padding)
+    def make_final_tapT(w):
+        def f(x):
+            Bs, H, W, C = x.shape
+            wt = w[..., 0].reshape(9, C)  # (9, C)
+            z = jnp.dot(wt, x.reshape(-1, C).T, preferred_element_type=jnp.float32)
+            z = z.reshape(9, Bs, H, W)
+            zp = jnp.pad(z, ((0, 0), (0, 0), (1, 1), (1, 1)))
+            out = sum(zp[3 * u + v, :, u : u + H, v : v + W] for u in range(3) for v in range(3))
+            return out[..., None].astype(bf16)
 
-    # ---- resblock stage (conv stack + BN + relu) fwd and fwd+bwd ---------
+        return f
+
+    record("final tapT-matmul 64->1 @512", op_time(make_final_tapT(w), x, 3, 67),
+           flops=conv_flops(B, 512, 512, 64, 1), bytes_moved=2 * x.size)
+
+    # ---- non-conv ops -----------------------------------------------------
+    from pssr2_tpu.ops.shuffle import pixel_shuffle
+
+    xs = jax.random.normal(key, (B, 128, 128, 1024), bf16)
+    record(
+        "pixel_shuffle 128^2x1024 ->512^2x64",
+        op_time(lambda x: pixel_shuffle(x, 4, channels_last=True), xs, 3, 67),
+        bytes_moved=2 * xs.size * 2,
+    )
+
+    xp = jax.random.normal(key, (B, 128, 128, 64), bf16)
+    record(
+        "max_pool 2x2 @128x64",
+        op_time(lambda x: nnx.max_pool(x, window_shape=(2, 2), strides=(2, 2)), xp),
+        bytes_moved=2 * xp.size + 2 * xp.size // 4,
+    )
+
+    # functional train-mode batchnorm (stats over B,H,W) at stage-1 shape
+    def bn_train(x):
+        mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=(0, 1, 2), keepdims=True)
+        return ((x - mean) * jax.lax.rsqrt(var + 1e-5)).astype(bf16)
+
+    record("bn train-stats @128x64", op_time(bn_train, xp), bytes_moved=3 * 2 * xp.size)
+
+    relu = lambda x: jnp.maximum(x, 0)  # noqa: E731
+    record("relu @128x64", op_time(relu, xp), bytes_moved=2 * 2 * xp.size)
+
+    # ---- resblock stage (conv stack + BN + relu), eval mode ---------------
     from pssr2_tpu.models.blocks import ResBlock
-
-    def stage_fns(cin, cout, hw, norm, train):
-        blk = ResBlock(cin, cout, depth=3, norm=norm, rngs=nnx.Rngs(0), dtype=bf16)
-        blk.train() if train else blk.eval()
-        x = jax.random.normal(key, (B, hw, hw, cin), bf16)
-        gd, st = nnx.split(blk)
-
-        def fwd(x):
-            return nnx.merge(gd, st)(x)
-
-        def fwdbwd(x):
-            def loss(x):
-                return jnp.sum(fwd(x).astype(jnp.float32))
-
-            return jax.grad(loss)(x)
-
-        return fwd, fwdbwd, x
 
     fl = conv_flops(B, 128, 128, 64, 64) * 4 + conv_flops(B, 128, 128, 64, 64, 1)
     for norm in (True, False):
-        for train in (True, False):
-            f, fb, x = stage_fns(64, 64, 128, norm, train)
-            tag = f"norm={norm} {'train' if train else 'eval'}"
-            record(f"resblock64 fwd {tag}", op_time(f, x), flops=fl)
-            record(f"resblock64 fwd+dx {tag}", op_time(fb, x), flops=3 * fl)
+        blk = ResBlock(64, 64, depth=3, norm=norm, rngs=nnx.Rngs(0), dtype=bf16)
+        blk.eval()
+        gd, st = nnx.split(blk)
+        x = jax.random.normal(key, (B, 128, 128, 64), bf16)
 
-    # ---- full model ------------------------------------------------------
+        def fwd(x, gd=gd, st=st):
+            return nnx.merge(gd, st)(x)
+
+        def fwdbwd(x, fwd=fwd):
+            return jax.grad(lambda x: jnp.sum(fwd(x).astype(jnp.float32)))(x)
+
+        record(f"resblock64 fwd eval norm={norm}", op_time(fwd, x, 3, 67), flops=fl)
+        record(f"resblock64 fwd+dx eval norm={norm}", op_time(fwdbwd, x, 3, 35), flops=3 * fl)
+
+    # ---- full model (eval mode: no BN stat mutation under grad) ----------
     from pssr2_tpu.models import ResUNet
 
     MODEL_FLOPS = 63.3e9 * B  # analytic fwd count, canonical config
@@ -219,51 +218,30 @@ def main():
     model = ResUNet(dtype=bf16)
     model.eval()
     gd, st = nnx.split(model)
-    record("model fwd eval", op_time(lambda x: nnx.merge(gd, st)(x), lr), flops=MODEL_FLOPS)
-
-    model.train()
-    gdt, stt = nnx.split(model)
-    record("model fwd train(BN stats)", op_time(lambda x: nnx.merge(gdt, stt)(x)[0], lr), flops=MODEL_FLOPS)
+    record("model fwd eval", op_time(lambda x: nnx.merge(gd, st)(x), lr, 3, 35), flops=MODEL_FLOPS)
 
     def fwdbwd(x):
-        def loss(x):
-            out = nnx.merge(gdt, stt)(x)
-            return jnp.mean((out - hr) ** 2)
+        return jax.grad(lambda x: jnp.mean((nnx.merge(gd, st)(x) - hr) ** 2))(x)
 
-        return jax.grad(loss)(x)
+    record("model fwd+dx eval (MSE)", op_time(fwdbwd, lr, 3, 19), flops=3 * MODEL_FLOPS)
 
-    record("model fwd+dx (MSE)", op_time(fwdbwd, lr), flops=3 * MODEL_FLOPS)
-
-    # param-grad variant (what training actually computes)
     def fwdbwd_w(x):
         def loss(st):
-            out = nnx.merge(gdt, st)(x)
-            return jnp.mean((out - hr) ** 2)
+            return jnp.mean((nnx.merge(gd, st)(x) - hr) ** 2)
 
-        g = jax.grad(loss)(stt)
-        return jax.tree.leaves(g)[0]
+        return jax.tree.leaves(jax.grad(loss)(st))[0]
 
-    record("model fwd+dw (MSE)", op_time(fwdbwd_w, lr), flops=3 * MODEL_FLOPS)
+    record("model fwd+dw eval (MSE)", op_time(fwdbwd_w, lr, 3, 19), flops=3 * MODEL_FLOPS)
 
     # loss alone
     from pssr2_tpu.util import SSIMLoss
 
     loss_fn = SSIMLoss(mix=0.8, ms=True)
     hh = jnp.asarray(np.random.default_rng(2).random((B, 1, 512, 512), np.float32) * 255)
-    record("ms-ssim loss fwd", op_time(lambda a: loss_fn(a / 255.0, hr / 255.0)[None], hh))
+    record("ms-ssim loss fwd", op_time(lambda a: loss_fn(a / 255.0, hr / 255.0), hh, 3, 67))
     record(
         "ms-ssim loss fwd+bwd",
-        op_time(lambda a: jax.grad(lambda a: loss_fn(a / 255.0, hr / 255.0))(a), hh),
-    )
-
-    # pixel shuffle recon-shaped
-    from pssr2_tpu.ops.shuffle import pixel_shuffle
-
-    xs = jax.random.normal(key, (B, 128, 128, 1024), bf16)
-    record(
-        "pixel_shuffle 128^2x1024 ->512^2x64",
-        op_time(lambda x: pixel_shuffle(x, 4, channels_last=True), xs),
-        bytes_moved=2 * xs.size * 2,
+        op_time(lambda a: jax.grad(lambda a: loss_fn(a / 255.0, hr / 255.0))(a), hh, 3, 35),
     )
 
     # degrade pipeline alone
@@ -277,7 +255,7 @@ def main():
         h, l = base(key, x.astype(jnp.uint8))
         return h
 
-    record("degrade pipeline (aug+resize+poisson)", op_time(degrade, hr_u8.astype(jnp.float32)))
+    record("degrade pipeline (aug+resize+poisson)", op_time(degrade, hr_u8.astype(jnp.float32), 3, 67))
 
     # full train step (single-dispatch; ~3ms dispatch overhead included,
     # negligible at this size)

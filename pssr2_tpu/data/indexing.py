@@ -111,13 +111,18 @@ class RandomIterIdx:
     """Reshuffling index sampler; ``seed=True`` gives the deterministic
     validation order (reference: pssr/data.py:737-752)."""
 
-    def __init__(self, idx, seed=False):
+    def __init__(self, idx, seed=False, rng=None):
         self.idx = list(idx)
         self.seed = seed
+        # explicit generator: identical shuffles across hosts (multi-process
+        # feeding requires every process to draw the same global order)
+        self.rng = rng
 
     def __iter__(self):
         random_idx = self.idx.copy()
-        if self.seed:
+        if self.rng is not None:
+            self.rng.shuffle(random_idx)
+        elif self.seed:
             np.random.seed(0)
             np.random.shuffle(random_idx)
         else:

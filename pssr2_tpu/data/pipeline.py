@@ -85,14 +85,21 @@ class PatchLoader:
     to ``batch_size`` by repeating the last sample; ``n_valid`` marks the
     real count so the train step can slice exactly (loss parity with the
     reference's variable last batch).
+
+    ``local_slice=(start, stop)`` makes this a multi-host feed: the loader
+    yields only rows [start, stop) of each (padded) GLOBAL batch — the rows
+    this process contributes via ``put_global_batch`` — while ``n_valid``
+    stays global.  All processes must iterate identically-seeded samplers.
     """
 
-    def __init__(self, dataset, sampler, batch_size: int, num_workers: int = 4, pad_to: int = None):
+    def __init__(self, dataset, sampler, batch_size: int, num_workers: int = 4,
+                 pad_to: int = None, local_slice=None):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.pad_to = batch_size if pad_to is None else pad_to
+        self.local_slice = (0, self.pad_to) if local_slice is None else tuple(local_slice)
 
     def __len__(self):
         return (len(self.sampler) + self.batch_size - 1) // self.batch_size
@@ -100,17 +107,21 @@ class PatchLoader:
     def __iter__(self):
         order = list(self.sampler)
         batch_fn = getattr(self.dataset, "hr_patch_batch", None)
+        lo, hi = self.local_slice
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             # pipeline two batches ahead
             pending = []
             for start in range(0, len(order), self.batch_size):
                 idx = order[start : start + self.batch_size]
+                # this process's rows of the padded global batch (padding
+                # repeats the last real sample, as the global batch would)
+                rows = [idx[min(r, len(idx) - 1)] for r in range(lo, hi)]
                 if batch_fn is not None:
                     # native parallel tile gather (preloaded sliding sheets)
-                    fut = pool.submit(self._load_batch, batch_fn, idx)
+                    fut = pool.submit(self._load_batch, batch_fn, rows)
                     pending.append((fut, len(idx)))
                 else:
-                    pending.append((pool.map(self.dataset.hr_patch, idx), len(idx)))
+                    pending.append((pool.map(self.dataset.hr_patch, rows), len(idx)))
                 if len(pending) > 2:
                     yield self._finalize(*pending.pop(0))
             while pending:
@@ -126,14 +137,8 @@ class PatchLoader:
         if hasattr(patches, "result"):  # Future from the batched gather path
             patches = patches.result()
         if isinstance(patches, np.ndarray):
-            if len(patches) < self.pad_to:
-                pad = np.repeat(patches[-1:], self.pad_to - len(patches), axis=0)
-                patches = np.concatenate([patches, pad])
             return patches, n_valid
-        patches = list(patches)
-        while len(patches) < self.pad_to:
-            patches.append(patches[-1])
-        return np.stack(patches), n_valid
+        return np.stack(list(patches)), n_valid
 
 
 def prefetch_to_device(iterator, sharding=None, depth: int = 2):
@@ -161,9 +166,11 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
         # Loader errors (corrupt file, tile-extraction ValueError, ...) are
         # forwarded to the consumer and re-raised there — NOT treated as a
         # clean end-of-epoch, which would silently train on truncated data.
+        from ..parallel.distributed import put_global_batch
+
         try:
             for batch, n_valid in iterator:
-                arr = jax.device_put(batch, sharding) if sharding is not None else jnp.asarray(batch)
+                arr = put_global_batch(batch, sharding)
                 if not _put((arr, n_valid)):
                     return
         except BaseException as exc:  # noqa: BLE001 - forwarded, not swallowed

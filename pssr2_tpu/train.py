@@ -126,12 +126,13 @@ class _PairBatchLoader:
     """Host fallback loader: items come from ``dataset[idx]`` (parity path);
     yields ((hr, lr), extra_or_None, n_valid) padded to batch_size."""
 
-    def __init__(self, dataset, sampler, batch_size, num_workers=4, pad_to=None):
+    def __init__(self, dataset, sampler, batch_size, num_workers=4, pad_to=None, local_slice=None):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.pad_to = batch_size if pad_to is None else pad_to
+        self.local_slice = (0, self.pad_to) if local_slice is None else tuple(local_slice)
 
     def __len__(self):
         return (len(self.sampler) + self.batch_size - 1) // self.batch_size
@@ -140,13 +141,13 @@ class _PairBatchLoader:
         from concurrent.futures import ThreadPoolExecutor
 
         order = list(self.sampler)
+        lo, hi = self.local_slice
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             for start in range(0, len(order), self.batch_size):
                 idx = order[start : start + self.batch_size]
-                items = list(pool.map(self.dataset.__getitem__, idx))
-                n_valid = len(items)
-                while len(items) < self.pad_to:
-                    items.append(items[-1])
+                n_valid = len(idx)
+                rows = [idx[min(r, n_valid - 1)] for r in range(lo, hi)]
+                items = list(pool.map(self.dataset.__getitem__, rows))
                 if getattr(self.dataset, "extra_hr_files", None) is not None:
                     pairs = [item[0] for item in items]
                     extra = np.stack([np.asarray(item[1]) for item in items])
@@ -239,6 +240,24 @@ def train_paired(
                 f"batch_size {batch_size} must be divisible by the data-axis size {data_size}."
             )
 
+    # Multi-host feeding (SURVEY.md §2.4 comm row): each process loads only
+    # its rows of the global batch; samplers are seeded identically so every
+    # process draws the same global order in lockstep.
+    n_procs = jax.process_count()
+    local_slice = None
+    sampler_rng = None
+    if n_procs > 1:
+        if mesh is None:
+            raise ValueError("multi-process training requires a mesh with a 'data' axis.")
+        if batch_size % n_procs != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by the process count {n_procs}."
+            )
+        from .parallel.distributed import local_batch_slice
+
+        local_slice = local_batch_slice(batch_size)
+        sampler_rng = np.random.default_rng(seed)
+
     use_device_pipe = _use_device_pipeline(dataset)
     gen_pair = None
     if use_device_pipe:
@@ -249,15 +268,12 @@ def train_paired(
             return aug(key, batch) if augment else no_aug(key, batch)
 
     train_idx = list(invert_idx(dataset.val_idx, len(dataset)))
-    train_sampler = RandomIterIdx(train_idx)
+    train_sampler = RandomIterIdx(train_idx, rng=sampler_rng)
     val_sampler = RandomIterIdx(dataset.val_idx, seed=True)
 
-    if use_device_pipe:
-        train_loader = PatchLoader(dataset, train_sampler, batch_size, num_workers)
-        val_loader = PatchLoader(dataset, val_sampler, batch_size, num_workers)
-    else:
-        train_loader = _PairBatchLoader(dataset, train_sampler, batch_size, num_workers)
-        val_loader = _PairBatchLoader(dataset, val_sampler, batch_size, num_workers)
+    loader_cls = PatchLoader if use_device_pipe else _PairBatchLoader
+    train_loader = loader_cls(dataset, train_sampler, batch_size, num_workers, local_slice=local_slice)
+    val_loader = loader_cls(dataset, val_sampler, batch_size, num_workers, local_slice=local_slice)
 
     include_metric = isinstance(scheduler, ReduceLROnPlateau)
 
@@ -301,11 +317,13 @@ def train_paired(
             for batch, n_valid in prefetch_to_device(iter(loader), data_shard):
                 yield batch, None, n_valid
         else:
+            from .parallel.distributed import put_global_batch
+
             for (hr, lr), extra, n_valid in loader:
                 if data_shard is not None:
-                    hr = jax.device_put(hr, data_shard)
-                    lr = jax.device_put(lr, data_shard)
-                    extra = jax.device_put(extra, data_shard) if extra is not None else None
+                    hr = put_global_batch(hr, data_shard)
+                    lr = put_global_batch(lr, data_shard)
+                    extra = put_global_batch(extra, data_shard) if extra is not None else None
                 yield (hr, lr), extra, n_valid
 
     for epoch in epoch_range:
