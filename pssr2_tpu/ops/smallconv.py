@@ -1,0 +1,99 @@
+"""Fused pixel-shuffle + small-C_out conv — the reconstruction-head tail.
+
+The reference upscaling head ends with ``conv3x3(pixel_shuffle(x, s))``
+into 1 output channel (reference: pssr/models/_blocks.py:6-18).  On TPU
+that final conv is the single worst op in the canonical model: with
+C_out=1 the MXU pads the output-lane dimension 1 -> 128, so the 512^2
+conv runs at 0.4% MXU and ~6.4 ms (measured, experiments/mxu_probe.json),
+and the materialized 512^2 x 64 shuffled tensor costs another 1.6 ms of
+HBM traffic.
+
+This module computes the SAME function (bitwise-equivalent contraction
+order per tap, fp-rounding-level differences only) without materializing
+the shuffled tensor:
+
+1. the producer conv's output channels are permuted to PHASE-MAJOR order
+   (channel = phase * C + c; torch pixel_shuffle is c-major) — a weight
+   permutation, free at runtime;
+2. one MXU matmul contracts the C channels against all 9 taps * C_out
+   filters at LR resolution: z[b,i,j,p,t*C_out+o] (N = 9*C_out lanes
+   instead of C_out);
+3. the 3x3 spatial structure is resolved in PHASE space: output phase
+   (di,dj) at LR pixel (i,j) reads input phase ((di+u-1) mod s,
+   (dj+v-1) mod s) at LR offset ((di+u-1)//s, (dj+v-1)//s) — nine
+   slice-adds over a phase-extended view of z (VPU, fused by XLA);
+4. a 16*C_out-channel mini pixel-shuffle produces the s*H x s*W output
+   (67 MB moved instead of 537 MB).
+
+Measured on v5e (bf16, canonical shapes): 2.9 ms vs 7.3 ms for
+shuffle+conv (experiments/mxu_probe2.json).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+
+def phase_major_perm(channels: int, scale: int) -> np.ndarray:
+    """Out-channel permutation turning a c-major (torch pixel_shuffle)
+    conv into a phase-major one: new channel p*C + c reads old channel
+    c*s^2 + p."""
+    s2 = scale * scale
+    return (np.arange(channels)[None, :] * s2 + np.arange(s2)[:, None]).reshape(-1)
+
+
+def shuffle_conv_small(y_pm, kernel, bias=None, *, scale: int):
+    """``conv3x3(pixel_shuffle(y, scale), kernel) + bias`` where ``y_pm``
+    holds the PRE-shuffle activations in phase-major channel order
+    (channel = p*C + c; see :func:`phase_major_perm`).
+
+    Args:
+        y_pm : (B, H, W, s^2 * C) activations, phase-major.
+        kernel : (3, 3, C, C_out) conv kernel (C_out small; the win decays
+            as C_out grows toward 128).
+        bias : optional (C_out,).
+        scale : the pixel-shuffle factor s.
+
+    Returns:
+        (B, s*H, s*W, C_out), same dtype as ``y_pm``.
+    """
+    s = scale
+    B, H, W, CS = y_pm.shape
+    kh, kw, C, Cout = kernel.shape
+    if (kh, kw) != (3, 3):
+        raise ValueError(f"shuffle_conv_small supports 3x3 kernels, got {kh}x{kw}.")
+    if CS != s * s * C:
+        raise ValueError(f"channel mismatch: y has {CS}, kernel expects {s * s * C}.")
+
+    # (C, 9*Cout): tap t = 3*u+v major, C_out minor
+    wt = kernel.reshape(9, C, Cout).transpose(1, 0, 2).reshape(C, 9 * Cout)
+    wt = wt.astype(y_pm.dtype)
+
+    # one MXU contraction for all taps/phases at LR resolution
+    z = lax.dot_general(
+        y_pm.reshape(B, H, W, s * s, C), wt, (((4,), (0,)), ((), ()))
+    )  # (B,H,W,s^2,9*Cout)
+    z = z.reshape(B, H, W, s, s, 9, Cout)
+
+    # phase-extended views: entry e on the row-phase axis corresponds to
+    # a = e-1 = di+u-1, i.e. input phase a mod s at LR row offset a//s;
+    # the out-of-range entries wrap to the neighboring LR row (zero at the
+    # sheet edge, matching the conv's SAME zero padding).
+    zm = jnp.pad(z[:, :-1, :, s - 1 : s], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0), (0, 0), (0, 0)))
+    zq = jnp.pad(z[:, 1:, :, 0:1], ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0), (0, 0), (0, 0)))
+    ze = jnp.concatenate([zm, z, zq], axis=3)  # (B,H,W,s+2,s,9,Cout)
+    zl = jnp.pad(ze[:, :, :-1, :, s - 1 : s], ((0, 0), (0, 0), (1, 0), (0, 0), (0, 0), (0, 0), (0, 0)))
+    zr = jnp.pad(ze[:, :, 1:, :, 0:1], ((0, 0), (0, 0), (0, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
+    ze = jnp.concatenate([zl, ze, zr], axis=4)  # (B,H,W,s+2,s+2,9,Cout)
+
+    out = sum(
+        ze[:, :, :, u : u + s, v : v + s, 3 * u + v].astype(jnp.float32)
+        for u in range(3)
+        for v in range(3)
+    )  # (B,H,W,s,s,Cout)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+
+    # mini pixel-shuffle of the phase dims: (B,H,W,s,s,Cout) -> (B,sH,sW,Cout)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, s * H, s * W, Cout)
+    return out.astype(y_pm.dtype)

@@ -143,3 +143,23 @@ def test_resunet_train_eval_batchnorm():
     assert out_train.shape == out_eval.shape
     # batch stats updated during train mode
     assert float(jnp.abs(model.norm.mean.value).sum()) > 0
+
+
+def test_reconstruction_fused_head_matches_standard():
+    """The phase-space fused head (ops/smallconv.py) computes exactly
+    conv3x3(pixel_shuffle(x, s)) for small C_out — the TPU-native
+    re-expression of the reference head (pssr/models/_blocks.py:6-18)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from pssr2_tpu.models.blocks import Reconstruction
+
+    for cout, scale in [(1, 4), (3, 2), (2, 4)]:
+        rec = Reconstruction(1, cout, 8, scale, rngs=nnx.Rngs(0))
+        assert rec.fused_head
+        x = jnp.asarray(np.random.default_rng(1).random((2, 12, 12, 9)).astype(np.float32))
+        fused = np.asarray(rec(x))
+        rec.fused_head = False
+        std = np.asarray(rec(x))
+        np.testing.assert_allclose(fused, std, atol=1e-4)
+        assert np.abs(fused - std).max() < 1e-5
