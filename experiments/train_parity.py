@@ -54,7 +54,8 @@ def make_phantom_data(n_images=40, hr_res=64, lr_scale=4, seed=0):
         images.append(np.clip(img + rng.normal(0, 2, img.shape), 0, 255))
     hr = np.stack(images).astype(np.float32)[:, None]  # (N,1,H,W)
 
-    crap = Poisson(intensity=1, gain=0, seed=seed)
+    crap = Poisson(intensity=1, gain=0)
+    np.random.seed(seed)  # Poisson.crappify draws from the global numpy state
     lr_res = hr_res // lr_scale
     lr = resize_bilinear_np(hr, lr_res, lr_res)
     lr = np.clip(np.round(lr), 0, 255).astype(np.uint8)

@@ -169,42 +169,53 @@ def predict_collage(
     prefix: str = None,
     out_dir: str = "preds",
     callbacks=None,
+    batch_size: int = None,
 ):
     """Saves a collage of LR | PSSR | HR columns over validation images
-    (reference: pssr/predict.py:85-142)."""
+    (reference: pssr/predict.py:85-142).  Forwards run batched
+    (``batch_size``, default 16) instead of the reference's per-image
+    batch-1 inference; collage layout and normalization are per-image."""
     if norm and dataset.is_lr:
         raise ValueError("Dataset must be paired with high-low-resolution images for normalization.")
 
     callbacks, callback_locals = _get_callbacks(callbacks)
     n_images = min(50, len(dataset)) if n_images is None else n_images
+    batch_size = 16 if batch_size is None else batch_size
     forward = _eval_forward(model)
 
     collage = Image.new("L", (dataset.crop_res * (2 if dataset.is_lr else 3), dataset.crop_res * n_images))
     iterator = (
         RandomIterIdx(dataset.val_idx, seed=True) if len(dataset.val_idx) < len(dataset) else dataset.val_idx
     )
-    for idx, data_idx in enumerate(iterator):
+    order = [data_idx for idx, data_idx in enumerate(iterator) if idx < n_images]
+    # batched forwards (the reference runs batch-1 per image,
+    # pssr/predict.py:85-142; per-image collage/norm semantics are kept)
+    for start in range(0, len(order), batch_size):
+        idx_batch = order[start : start + batch_size]
         if dataset.is_lr:
-            lr = np.asarray(dataset[data_idx])[np.newaxis]
-            hr = None
+            lrb = np.stack([np.asarray(dataset[i]) for i in idx_batch])
+            hrb = None
         else:
-            hr, lr = dataset[data_idx]
-            hr, lr = np.asarray(hr)[np.newaxis], np.asarray(lr)[np.newaxis]
+            items = [dataset[i] for i in idx_batch]
+            hrb = np.stack([np.asarray(it[0]) for it in items])
+            lrb = np.stack([np.asarray(it[1]) for it in items])
 
-        hr_hat = np.asarray(forward(lr))
-        collage.paste(
-            _collage_preds(lr, hr_hat, hr, norm, 1, dataset.crop_res, dataset.lr_scale),
-            (0, dataset.crop_res * idx),
-        )
+        hr_hatb = np.asarray(forward(lrb))
+        for offset, data_idx in enumerate(idx_batch):
+            idx = start + offset
+            lr = lrb[offset : offset + 1]
+            hr = None if hrb is None else hrb[offset : offset + 1]
+            hr_hat = hr_hatb[offset : offset + 1]
+            collage.paste(
+                _collage_preds(lr, hr_hat, hr, norm, 1, dataset.crop_res, dataset.lr_scale),
+                (0, dataset.crop_res * idx),
+            )
 
-        for cb_idx, callback in enumerate(callbacks):
-            if callback_locals[cb_idx]:
-                callback(locals())
-            else:
-                callback()
-
-        if idx >= n_images - 1:
-            break
+            for cb_idx, callback in enumerate(callbacks):
+                if callback_locals[cb_idx]:
+                    callback(locals())
+                else:
+                    callback()
 
     os.makedirs(out_dir, exist_ok=True)
     collage.save(f"{out_dir}/{prefix + '_' if prefix else ''}collage_{n_images}.png")
@@ -218,10 +229,15 @@ def test_metrics(
     avg: bool = True,
     norm: bool = True,
     callbacks=None,
+    batch_size: int = None,
+    dataloader_kwargs=None,
 ):
     """Computes restoration metrics of predicted vs ground truth images
     (reference: pssr/predict.py:144-211; the dataset[0] indexing bug at
     predict.py:180 is fixed — every val index is evaluated).
+
+    Forwards run batched (``batch_size``, default 16) instead of the
+    reference's batch-1 loop; metrics/normalization stay per-image.
 
     Args:
         model : Model to receive low-resolution images.
@@ -233,20 +249,29 @@ def test_metrics(
         avg (bool) : Return a single averaged value per metric.
 
         norm (bool) : Normalize prediction intensities to ground truth.
+
+        batch_size (int) : Inference batch size (default 16).
     """
     callbacks, callback_locals = _get_callbacks(callbacks)
     image_range = 255
+    batch_size = 16 if batch_size is None else batch_size
 
     metrics = [metrics] if isinstance(metrics, str) else list(metrics)
     metrics = {metric: [] for metric in metrics}
     use_mse = any(x in metrics for x in ["mse", "pixel"])
     forward = _eval_forward(model)
 
-    progress = tqdm(dataset.val_idx)
-    for data_idx in progress:
-        hr, lr = dataset[data_idx]
-        hr = np.asarray(hr)[np.newaxis]
-        lr = np.asarray(lr)[np.newaxis]
+    from concurrent.futures import ThreadPoolExecutor
+
+    num_workers = (dataloader_kwargs or {}).get("num_workers", 4)
+    pool = ThreadPoolExecutor(max_workers=num_workers)
+    val_idx = list(dataset.val_idx)
+    progress = tqdm(range(0, len(val_idx), batch_size))
+    for start in progress:
+        idx_batch = val_idx[start : start + batch_size]
+        items = list(pool.map(dataset.__getitem__, idx_batch))
+        hr = np.stack([np.asarray(it[0]) for it in items])
+        lr = np.stack([np.asarray(it[1]) for it in items])
 
         hr_hat = np.asarray(forward(lr))
         hr, hr_hat = _pred_array(hr), _pred_array(hr_hat)
@@ -274,6 +299,7 @@ def test_metrics(
             else:
                 callback()
 
+    pool.shutdown()
     return {metric: (sum(values) / len(values) if avg else values) for metric, values in metrics.items()}
 
 

@@ -176,7 +176,12 @@ def _sort_tiles(name: str):
 
 
 def _patch_images(batched, n_cols, n_rows, overlap, margin):
-    """Overlap-averaging patcher (reference: pssr/util.py:116-137)."""
+    """Overlap-averaging patcher (reference: pssr/util.py:116-137).
+
+    NOTE: transcribed from the MIT-licensed reference on purpose — this is
+    the published reassembly protocol and outputs must be numerically
+    identical.  See NOTICE for attribution; the TPU-native on-device
+    counterpart is ops/stitch.py."""
     image_size = batched.shape[-1]
     step = image_size - overlap
     collage_height = n_rows * step + overlap
@@ -210,6 +215,12 @@ def normalize_preds(hr, hr_hat, pmin: float = 0.1, pmax: float = 99.9):
     """Normalizes prediction intensities to ground truth for fair
     benchmarking (reference: pssr/util.py:139-191; percentile min-max,
     mean-centering and covariance amplitude matching from original PSSR).
+
+    NOTE: this algorithm is transcribed from the MIT-licensed reference
+    (and csbdeep before it) ON PURPOSE — it defines the benchmarking
+    protocol, so numeric identity with the reference is the requirement;
+    a re-derivation would risk silently changing published metrics.
+    See NOTICE for attribution.
 
     Args:
         hr (ndarray) : Ground-truth images.
