@@ -23,6 +23,62 @@ _PIXEL_DTYPES = {0: np.uint8, 1: np.uint16, 12: np.float32}
 _PIXEL_IDS = {np.dtype(np.uint8): 0, np.dtype(np.uint16): 1, np.dtype(np.float32): 12}
 
 
+def _unpack_hilo(raw: bytes, itemsize: int) -> bytes:
+    """Invert the zstd1 hi/lo byte-plane packing (all low bytes, then all
+    high bytes) back to interleaved 16-bit samples."""
+    if itemsize == 1:
+        return raw
+    if itemsize != 2:
+        raise NotImplementedError("czi: hi-lo packing is only defined for 16-bit pixels")
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    half = arr.size // 2
+    out = np.empty(arr.size, dtype=np.uint8)
+    out[0::2] = arr[:half]
+    out[1::2] = arr[half:]
+    return out.tobytes()
+
+
+def _decompress_subblock(compression: int, data: bytes, dtype) -> bytes:
+    """Decode a subblock payload.  Supported: 0 (raw), 5 (zstd0),
+    6 (zstd1 incl. hi-lo byte packing) — the formats ZEN writes by default
+    (the reference reads them via czifile/imagecodecs,
+    reference: pssr/data.py:579-619)."""
+    if compression == 0:
+        return data
+    if compression in (5, 6):
+        from . import zstd as _zstd
+
+        if not _zstd.available():
+            raise NotImplementedError(
+                "czi: zstd-compressed subblocks require libzstd, which is not available on this system"
+            )
+        payload = bytes(data)
+        hilo = False
+        if compression == 6:  # zstd1: [header_size][chunks...] before the frame
+            if not payload:
+                raise ValueError("czi: empty zstd1 subblock")
+            hsize = payload[0]
+            if hsize < 1 or hsize > len(payload):
+                raise ValueError(f"czi: bad zstd1 header size {hsize}")
+            pos = 1
+            while pos < hsize:
+                chunk = payload[pos]
+                pos += 1
+                if chunk == 1:  # hiLoByteUnpackPreprocessing
+                    hilo = payload[pos] != 0
+                    pos += 1
+                else:
+                    raise NotImplementedError(f"czi: unknown zstd1 header chunk type {chunk}")
+            payload = payload[hsize:]
+        raw = _zstd.decompress(payload)
+        return _unpack_hilo(raw, np.dtype(dtype).itemsize) if hilo else raw
+    names = {1: "JPEG", 2: "LZW", 4: "JpegXR"}
+    raise NotImplementedError(
+        f"czi: {names.get(compression, f'id {compression}')}-compressed subblocks are not "
+        f"supported; re-export uncompressed or zstd-compressed from ZEN"
+    )
+
+
 def _parse_subblock(payload):
     meta_size, attach_size, data_size = struct.unpack_from("<iiq", payload, 0)
     schema = payload[16:18]
@@ -43,12 +99,11 @@ def _parse_subblock(payload):
         pos += 20
     entry_size = 32 + dim_count * 20
     data_offset = max(256, 16 + entry_size) + meta_size
-    if compression != 0:
-        raise NotImplementedError(f"czi: compressed subblocks not supported (compression={compression})")
     if pixel_type not in _PIXEL_DTYPES:
         raise NotImplementedError(f"czi: unsupported pixel type {pixel_type}")
-    data = payload[data_offset : data_offset + data_size]
-    return dims, np.frombuffer(data, dtype=_PIXEL_DTYPES[pixel_type])
+    dtype = _PIXEL_DTYPES[pixel_type]
+    data = _decompress_subblock(compression, payload[data_offset : data_offset + data_size], dtype)
+    return dims, np.frombuffer(data, dtype=dtype)
 
 
 def read_czi(path):
@@ -101,16 +156,21 @@ def read_czi(path):
     return out, "".join(axes)
 
 
-def write_czi(path, array: np.ndarray, axes: str):
-    """Write a dense array as one uncompressed subblock per non-XY coordinate.
+def write_czi(path, array: np.ndarray, axes: str, compression: int = 0):
+    """Write a dense array as one subblock per non-XY coordinate.
 
     ``axes`` names each array dim (e.g. "TZCYX"); Y and X must be last two.
+    ``compression``: 0 (raw), 5 (zstd0) or 6 (zstd1 with hi-lo packing for
+    16-bit data) — mirrors what ZEN emits, so the reader's compressed paths
+    can be round-trip tested without Zeiss data.
     """
     array = np.asarray(array)
     if axes[-2:] not in ("YX",):
         raise ValueError("write_czi: axes must end with 'YX'")
     if array.ndim != len(axes):
         raise ValueError("write_czi: axes/array rank mismatch")
+    if compression not in (0, 5, 6):
+        raise ValueError(f"write_czi: unsupported compression {compression}")
     pixel_type = _PIXEL_IDS[array.dtype]
 
     lead_shape = array.shape[:-2]
@@ -130,7 +190,7 @@ def write_czi(path, array: np.ndarray, axes: str):
         dims = [(axes[i], coord[i], 1, 1) for i in range(len(coord))]
         dims += [("Y", 0, h, h), ("X", 0, w, w)]
 
-        entry = b"DV" + struct.pack("<iqii", pixel_type, 0, 0, 0)
+        entry = b"DV" + struct.pack("<iqii", pixel_type, 0, 0, compression)
         entry += b"\x00" * 6  # pyramid byte + spare
         entry += struct.pack("<i", len(dims))
         for dim, start, size, stored in dims:
@@ -138,6 +198,18 @@ def write_czi(path, array: np.ndarray, axes: str):
             entry += struct.pack("<iifi", start, size, 0.0, stored)
 
         data = plane.astype(plane.dtype.newbyteorder("<"), copy=False).tobytes()
+        if compression in (5, 6):
+            from . import zstd as _zstd
+
+            if compression == 6:
+                if plane.dtype.itemsize == 2:  # hi-lo byte-plane packing
+                    arr8 = np.frombuffer(data, dtype=np.uint8)
+                    data = arr8[0::2].tobytes() + arr8[1::2].tobytes()
+                    data = b"\x03\x01\x01" + _zstd.compress(data)
+                else:
+                    data = b"\x01" + _zstd.compress(data)
+            else:
+                data = _zstd.compress(data)
         header = struct.pack("<iiq", 0, 0, len(data))  # meta/attach/data sizes
         body = header + entry
         body = body.ljust(max(256, 16 + len(entry)), b"\x00") + data

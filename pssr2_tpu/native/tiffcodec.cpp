@@ -29,6 +29,7 @@ struct Reader {
   const uint8_t* data;
   size_t size;
   bool big_endian;
+  bool bigtiff;  // BigTIFF (magic 43): 8-byte offsets/counts
 
   uint16_t u16(size_t off) const {
     if (off + 2 > size) return 0;
@@ -43,14 +44,25 @@ struct Reader {
                : ((uint32_t)data[off + 3] << 24) | ((uint32_t)data[off + 2] << 16) |
                      ((uint32_t)data[off + 1] << 8) | data[off];
   }
+  uint64_t u64(size_t off) const {
+    if (off + 8 > size) return 0;
+    uint64_t v = 0;
+    if (big_endian) {
+      for (int i = 0; i < 8; i++) v = (v << 8) | data[off + i];
+    } else {
+      for (int i = 7; i >= 0; i--) v = (v << 8) | data[off + i];
+    }
+    return v;
+  }
 };
 
-constexpr int kTypeSizes[13] = {0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8, 4, 8};
+// sizes for TIFF types 0..18 (16..18 are the BigTIFF LONG8/SLONG8/IFD8)
+constexpr int kTypeSizes[19] = {0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8, 4, 8, 4, 0, 0, 8, 8, 8};
 
 struct Tag {
   uint16_t id;
   uint16_t type;
-  uint32_t count;
+  uint64_t count;
   size_t value_off;  // offset of inline value or pointed data
 };
 
@@ -61,6 +73,24 @@ struct Page {
 };
 
 bool parse_tags(const Reader& r, size_t ifd, std::vector<Tag>* tags, size_t* next) {
+  if (r.bigtiff) {
+    uint64_t count = r.u64(ifd);
+    if (count > 1 << 16) return false;
+    size_t pos = ifd + 8;
+    for (uint64_t i = 0; i < count; i++) {
+      Tag t;
+      t.id = r.u16(pos);
+      t.type = r.u16(pos + 2);
+      t.count = r.u64(pos + 4);
+      int tsz = t.type < 19 ? kTypeSizes[t.type] : 1;
+      uint64_t bytes = (uint64_t)tsz * t.count;
+      t.value_off = bytes <= 8 ? pos + 12 : (size_t)r.u64(pos + 12);
+      tags->push_back(t);
+      pos += 20;
+    }
+    *next = (size_t)r.u64(pos);
+    return true;
+  }
   uint16_t count = r.u16(ifd);
   size_t pos = ifd + 2;
   for (int i = 0; i < count; i++) {
@@ -68,7 +98,7 @@ bool parse_tags(const Reader& r, size_t ifd, std::vector<Tag>* tags, size_t* nex
     t.id = r.u16(pos);
     t.type = r.u16(pos + 2);
     t.count = r.u32(pos + 4);
-    int tsz = t.type < 13 ? kTypeSizes[t.type] : 1;
+    int tsz = t.type < 19 ? kTypeSizes[t.type] : 1;
     size_t bytes = (size_t)tsz * t.count;
     t.value_off = bytes <= 4 ? pos + 8 : r.u32(pos + 8);
     tags->push_back(t);
@@ -78,13 +108,16 @@ bool parse_tags(const Reader& r, size_t ifd, std::vector<Tag>* tags, size_t* nex
   return true;
 }
 
-uint64_t tag_value(const Reader& r, const Tag& t, uint32_t idx) {
-  int tsz = t.type < 13 ? kTypeSizes[t.type] : 1;
+uint64_t tag_value(const Reader& r, const Tag& t, uint64_t idx) {
+  int tsz = t.type < 19 ? kTypeSizes[t.type] : 1;
   size_t off = t.value_off + (size_t)idx * tsz;
   switch (t.type) {
     case 1: return off < r.size ? r.data[off] : 0;
     case 3: return r.u16(off);
     case 4: return r.u32(off);
+    case 16:
+    case 17:
+    case 18: return r.u64(off);
     default: return r.u32(off);
   }
 }
@@ -99,10 +132,10 @@ bool parse_page(const Reader& r, const std::vector<Tag>& tags, Page* p) {
       case 277: p->spp = (uint16_t)tag_value(r, t, 0); break;
       case 339: p->sample_format = (uint16_t)tag_value(r, t, 0); break;
       case 273:
-        for (uint32_t i = 0; i < t.count; i++) p->strip_offsets.push_back(tag_value(r, t, i));
+        for (uint64_t i = 0; i < t.count; i++) p->strip_offsets.push_back(tag_value(r, t, i));
         break;
       case 279:
-        for (uint32_t i = 0; i < t.count; i++) p->strip_counts.push_back(tag_value(r, t, i));
+        for (uint64_t i = 0; i < t.count; i++) p->strip_counts.push_back(tag_value(r, t, i));
         break;
     }
   }
@@ -250,9 +283,19 @@ bool open_reader(const std::vector<uint8_t>& buf, Reader* r, size_t* first_ifd) 
   r->data = buf.data();
   r->size = buf.size();
   r->big_endian = big;
-  if (r->u16(2) != 42) return false;
-  *first_ifd = r->u32(4);
-  return true;
+  uint16_t magic = r->u16(2);
+  if (magic == 42) {
+    r->bigtiff = false;
+    *first_ifd = r->u32(4);
+    return true;
+  }
+  if (magic == 43) {  // BigTIFF: [offsetsize=8][0][first IFD offset u64]
+    if (r->u16(4) != 8 || r->u16(6) != 0) return false;
+    r->bigtiff = true;
+    *first_ifd = (size_t)r->u64(8);
+    return true;
+  }
+  return false;
 }
 
 }  // namespace
