@@ -105,18 +105,18 @@ class _DatasetBase:
 class ImageDataset(_DatasetBase):
     def __init__(
         self,
-        path,
+        path: Path,
         hr_res: int = 512,
         lr_scale: int = 4,
         crappifier: Crappifier = _DEFAULT_CRAPPIFIER,
-        n_frames=-1,
+        n_frames: list[int] = -1,
         extension: str = "tif",
         val_split: float = 0.1,
         rotation: bool = True,
         split_seed: int = 0,
-        extra_path=None,
+        extra_path: Path = None,
         extra_scale: int = 1,
-        transforms=None,
+        transforms: list = None,
         preload: bool = False,
     ):
         """Training dataset for pre-tiled high-resolution image files,
@@ -271,12 +271,12 @@ class ImageDataset(_DatasetBase):
 class SlidingDataset(_DatasetBase):
     def __init__(
         self,
-        path,
+        path: Path,
         hr_res: int = 512,
         lr_scale: int = 4,
         crappifier: Crappifier = _DEFAULT_CRAPPIFIER,
         overlap: int = 128,
-        n_frames=-1,
+        n_frames: list[int] = -1,
         slide: bool = False,
         stack: str = "TZ",
         extension: str = "tif",
@@ -284,9 +284,9 @@ class SlidingDataset(_DatasetBase):
         val_split: float = 0.1,
         rotation: bool = True,
         split_seed: int = 0,
-        extra_path=None,
+        extra_path: Path = None,
         extra_scale: int = 1,
-        transforms=None,
+        transforms: list = None,
     ):
         """Training dataset tiling large image sheets (e.g. .czi) with
         ``hr_res`` windows and ``overlap`` (reference: pssr/data.py:132-266).
@@ -515,11 +515,11 @@ class SlidingDataset(_DatasetBase):
 class PairedImageDataset(_DatasetBase):
     def __init__(
         self,
-        hr_path,
-        lr_path,
+        hr_path: Path,
+        lr_path: Path,
         hr_res: int = 512,
         lr_scale: int = 4,
-        n_frames=-1,
+        n_frames: list[int] = -1,
         extension: str = "tif",
         val_split: float = 1,
         rotation: bool = True,
@@ -608,12 +608,12 @@ class PairedImageDataset(_DatasetBase):
 class PairedSlidingDataset(_DatasetBase):
     def __init__(
         self,
-        hr_path,
-        lr_path,
+        hr_path: Path,
+        lr_path: Path,
         hr_res: int = 512,
         lr_scale: int = 4,
         overlap: int = 128,
-        n_frames=-1,
+        n_frames: list[int] = -1,
         slide: bool = False,
         stack: str = "TZ",
         extension: str = "tif",

@@ -21,18 +21,18 @@ from .rdnet import RDNet
 class RDResUNet(nnx.Module):
     def __init__(
         self,
-        channels=1,
-        hidden=None,
+        channels: list[int] = 1,
+        hidden: list[int] = None,
         scale: int = 4,
         depth: int = 3,
-        dilations=None,
-        pool_sizes=None,
+        dilations: list[list[int]] = None,
+        pool_sizes: list[int] = None,
         encoder_pool: bool = False,
         rdnet_init: int = 128,
-        growth_rates=None,
-        ds_blocks=None,
-        ese_blocks=None,
-        n_blocks=3,
+        growth_rates: list[int] = None,
+        ds_blocks: list[bool] = None,
+        ese_blocks: list[bool] = None,
+        n_blocks: list[int] = 3,
         patch_size: int = 2,
         bottleneck: int = 4,
         compression: float = 0.5,
@@ -184,18 +184,18 @@ class RDResUNet(nnx.Module):
 class RDResUNetA:
     def __new__(
         cls,
-        channels=1,
-        hidden=None,
+        channels: list[int] = 1,
+        hidden: list[int] = None,
         scale: int = 4,
         depth: int = 3,
-        dilations=None,
-        pool_sizes=None,
+        dilations: list[list[int]] = None,
+        pool_sizes: list[int] = None,
         encoder_pool: bool = False,
         rdnet_init: int = 128,
-        growth_rates=None,
-        ds_blocks=None,
-        ese_blocks=None,
-        n_blocks=3,
+        growth_rates: list[int] = None,
+        ds_blocks: list[bool] = None,
+        ese_blocks: list[bool] = None,
+        n_blocks: list[int] = 3,
         patch_size: int = 2,
         bottleneck: int = 4,
         compression: float = 0.5,

@@ -21,12 +21,12 @@ from .blocks import PSPPooling, Reconstruction, batch_norm, force_list, get_resb
 class ResUNet(nnx.Module):
     def __init__(
         self,
-        channels=1,
-        hidden=None,
+        channels: list[int] = 1,
+        hidden: list[int] = None,
         scale: int = 4,
         depth: int = 3,
-        dilations=None,
-        pool_sizes=None,
+        dilations: list[list[int]] = None,
+        pool_sizes: list[int] = None,
         encoder_pool: bool = False,
         *,
         dtype=None,
@@ -171,12 +171,12 @@ class ResUNet(nnx.Module):
 class ResUNetA:
     def __new__(
         cls,
-        channels=1,
-        hidden=None,
+        channels: list[int] = 1,
+        hidden: list[int] = None,
         scale: int = 4,
         depth: int = 3,
-        dilations=None,
-        pool_sizes=None,
+        dilations: list[list[int]] = None,
+        pool_sizes: list[int] = None,
         encoder_pool: bool = False,
         *,
         dtype=None,

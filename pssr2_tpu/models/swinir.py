@@ -317,12 +317,12 @@ class SwinIR(nnx.Module):
     def __init__(
         self,
         image_size: int = 128,
-        channels=1,
+        channels: list[int] = 1,
         scale: int = 4,
         embed_dim: int = 96,
         mlp_ratio: int = 2,
-        depths=None,
-        num_heads=None,
+        depths: list[int] = None,
+        num_heads: list[int] = None,
         window_size: int = 8,
         patch_size: int = 1,
         upsampler: str = "pixelshuffle",

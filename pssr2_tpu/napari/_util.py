@@ -1,47 +1,20 @@
-"""napari plugin internals (reference: pssr/napari/_util.py): auto-generated
-object editors from constructor signatures, and stdout/stderr capture to Qt
-signals.
+"""napari plugin Qt shell.
+
+The editor LOGIC (constructor introspection, argument state, declaration
+assembly) lives in pssr2_tpu/napari/logic.py and is pure Python; this
+module renders :class:`logic.WidgetSpec` rows with magicgui/Qt and forwards
+changes back into a :class:`logic.DeclarationModel`.  This split is this
+framework's own design — the reference couples state and Qt in one widget
+class (reference: pssr/napari/_util.py:28-135).
 
 Qt/magicgui are optional extras, so the widget classes are built lazily by
-:func:`build_util_classes` on first use; the signature-introspection logic
-(:func:`object_spec`) is pure Python and testable headless.
+:func:`build_util_classes` on first use.
 """
 
-import inspect
 from contextlib import redirect_stderr, redirect_stdout
 from functools import lru_cache, partial
-from pathlib import Path
 
-
-def object_spec(cls):
-    """(arg, default, annotation) triples for a constructor, skipping self
-    and keyword-only args (mirrors inspect.getfullargspec use at
-    reference _util.py:78-83)."""
-    spec = inspect.getfullargspec(cls.__init__ if isinstance(cls, type) else cls)
-    args = [a for a in spec.args if a != "self"]
-    defaults = [None] * (len(args) - len(spec.defaults or ())) + list(spec.defaults or ())
-    return [(arg, default, spec.annotations.get(arg)) for arg, default in zip(args, defaults)]
-
-
-def advanced_ignore_maps():
-    from ..data import ImageDataset, PairedImageDataset, PairedSlidingDataset, SlidingDataset
-    from ..models import RDResUNet, ResUNet, SwinIR
-
-    # Parameter-index maps mirroring the reference's ADVANCED/IGNORE split
-    # (reference _util.py:14-26), adjusted to this package's signatures.
-    advanced = {
-        ResUNet: list(range(4, 6 + 1)),
-        RDResUNet: list(range(4, 6 + 1)) + list(range(12, 16 + 1)),
-        SwinIR: list(range(8, 18 + 1)),
-    }
-    ignore = {
-        SwinIR: [],
-        ImageDataset: [3, 11],
-        SlidingDataset: [3, 15],
-        PairedImageDataset: [9],
-        PairedSlidingDataset: [13],
-    }
-    return advanced, ignore
+from .logic import DeclarationModel, advanced_ignore_maps, format_value, object_spec  # noqa: F401 (re-exported)
 
 
 class _SignalCapture:
@@ -58,8 +31,7 @@ class _SignalCapture:
 @lru_cache(maxsize=1)
 def build_util_classes():
     """Build (ObjectEdit, SignalWrapper) — requires qtpy/magicgui/superqt."""
-    from magicgui.type_map import get_widget_class
-    from magicgui.widgets import CheckBox, ComboBox, Container, FileEdit, LineEdit, ListEdit, create_widget
+    from magicgui.widgets import CheckBox, ComboBox, Container, FileEdit, LineEdit, ListEdit, PushButton, create_widget
     from qtpy.QtCore import QObject, Signal
     from qtpy.QtWidgets import QVBoxLayout, QWidget
     from superqt import QCollapsible
@@ -67,34 +39,66 @@ def build_util_classes():
     from ..crappifiers import AdditiveGaussian, Blur, Poisson, SaltPepper
     from ..data import ImageDataset, SlidingDataset
 
+    class NestedListEdit(Container):
+        """Editor for list[list[int]] parameters (e.g. ResUNet-family
+        ``dilations``): one ListEdit row per inner list plus add/remove row
+        buttons.  Own design replacing the reference's _LargeList
+        (reference: _util.py:137-147)."""
+
+        def __init__(self, value, name, options):
+            super().__init__(name=name, layout="vertical")
+            self._options = options
+            self._rows = Container(layout="vertical")
+            self.append(self._rows)
+            buttons = Container(layout="horizontal", labels=False)
+            add = PushButton(text="+ row")
+            remove = PushButton(text="- row")
+            add.clicked.connect(lambda: self._add_row([0]))
+            remove.clicked.connect(self._remove_row)
+            buttons.append(add)
+            buttons.append(remove)
+            self.append(buttons)
+            for inner in value or [[0]]:
+                self._add_row(list(inner))
+
+        def _add_row(self, inner):
+            row = ListEdit(value=inner, options=self._options)
+            row.changed.connect(lambda *_: self.changed.emit(self.value))
+            self._rows.append(row)
+            self.changed.emit(self.value)
+
+        def _remove_row(self):
+            if len(self._rows) > 0:
+                self._rows.pop()
+                self.changed.emit(self.value)
+
+        @property
+        def value(self):
+            return [list(row.value) for row in self._rows]
+
     class ObjectEdit(QWidget):
-        """Collapsible editor for one object (model/dataset/crappifier)
-        producing a constructor-declaration string, parsed by the restricted
-        declaration parser — never eval'd.  (reference: _util.py:28-135)
-        """
+        """Collapsible editor for one object (model/dataset/crappifier):
+        renders the DeclarationModel's widget specs; the declaration string
+        is parsed by the restricted parser — never eval'd."""
 
         def __init__(self, title, objects, hide_crappifier=False):
             super().__init__()
-            self._objects = {item.__name__: item for item in objects}
-            self.collapse = QCollapsible(title)
+            self._dataset_types = (ImageDataset, SlidingDataset)
+            child_arg = "crappifier" if any(item in objects for item in self._dataset_types) else None
+            self.model = DeclarationModel(objects, child_arg=child_arg)
 
-            self.type = ComboBox(name="Type", choices=list(self._objects))
-            self.type.changed.connect(self._clear_arguments)
+            self.collapse = QCollapsible(title)
+            self.type = ComboBox(name="Type", choices=list(self.model.objects))
+            self.type.changed.connect(self._rebuild)
             self.collapse.addWidget(self.type.native)
 
             self.arg_container = Container()
             self.collapse.addWidget(self.arg_container.native)
 
-            self._dataset_types = (ImageDataset, SlidingDataset)
-            if any(item in objects for item in self._dataset_types):
+            if child_arg:
                 self.crappifier = ObjectEdit("Crappifier", [AdditiveGaussian, Poisson, SaltPepper, Blur])
-                self.crappifier.type.changed.connect(
-                    lambda: self._set_arguments("crappifier", self.crappifier.object, raw=True)
-                )
-                self.crappifier.arg_container.changed.connect(
-                    lambda: self._set_arguments("crappifier", self.crappifier.object, raw=True)
-                )
-                self.type.changed.connect(self._assert_crappifier)
+                self.crappifier.type.changed.connect(self._sync_crappifier)
+                self.crappifier.arg_container.changed.connect(self._sync_crappifier)
                 self.collapse.addWidget(self.crappifier)
                 if hide_crappifier:
                     self.crappifier.collapse.collapse()
@@ -107,7 +111,7 @@ def build_util_classes():
             self.collapse.addWidget(self.advanced_collapse)
 
             self.collapse.expand()
-            self._clear_arguments()
+            self._rebuild()
 
             layout = QVBoxLayout()
             layout.addWidget(self.collapse)
@@ -115,72 +119,60 @@ def build_util_classes():
 
         @property
         def object(self):
-            return f"{self.type.current_choice}({', '.join(f'{k}={v}' for k, v in self.arguments.items())})"
+            return self.model.declaration
 
-        def _clear_arguments(self):
-            self.arguments = {}
+        def _sync_crappifier(self, *_):
+            if self.crappifier is not None and self.model.current_class in self._dataset_types:
+                self.model.set_child(self.crappifier.object)
+
+        def _make_widget(self, spec):
+            if spec.kind == "nested_list":
+                return NestedListEdit(spec.default, name=spec.name, options=spec.options)
+            if spec.kind == "list":
+                default = spec.default
+                if default is not None and not isinstance(default, list):
+                    default = [default]
+                widget = ListEdit(
+                    value=default if default is not None else [0],
+                    name=spec.name,
+                    options=spec.options if spec.numeric else {},
+                )
+                if spec.default is None:
+                    widget._pop_value()
+                return widget
+            if spec.kind == "path":
+                return FileEdit(value=spec.default or "", name=spec.name, mode="d")
+            if spec.kind == "bool":
+                return CheckBox(value=bool(spec.default), name=spec.name)
+            if spec.kind == "str":
+                return LineEdit(value=spec.default or "", name=spec.name)
+            annotation = int if spec.kind == "int" else float
+            return create_widget(
+                value=spec.default, annotation=annotation, name=spec.name, options=spec.options
+            )
+
+        def _rebuild(self, *_):
             self.arg_container.clear()
             self.advanced_container.clear()
+            rows = self.model.select(self.type.current_choice)
 
-            choice = self._objects[self.type.current_choice]
-            advanced, ignore = advanced_ignore_maps()
-            advanced_idx = advanced.get(choice, [])
-            ignore_idx = ignore.get(choice, [])
+            for spec in rows:
+                widget = self._make_widget(spec)
+                widget.changed.connect(partial(self.model.set_arg, spec.name))
+                (self.advanced_container if spec.advanced else self.arg_container).append(widget)
 
-            for idx, (arg, default, annotation) in enumerate(object_spec(choice)):
-                if idx in ignore_idx or annotation is None:
-                    continue
-
-                widget_type = get_widget_class(annotation=annotation)[0]
-
-                if widget_type is not ListEdit:
-                    options = {}
-                    if widget_type not in [CheckBox, LineEdit, FileEdit]:
-                        options = dict(max=2**14, min=-1)
-                    if widget_type is FileEdit:
-                        options = dict(mode="d")
-                    widget = create_widget(value=default, annotation=annotation, name=arg, options=options)
+            if self.crappifier is not None:
+                if self.model.current_class in self._dataset_types:
+                    self.crappifier.show()
+                    self._sync_crappifier()
                 else:
-                    if not isinstance(default, list) and default:
-                        default = [default]
-                    numeric = any(item in str(annotation) for item in ["int", "float"])
-                    widget = ListEdit(
-                        value=default if default is not None else [0],
-                        name=arg,
-                        options=dict(max=2**14, min=-1) if numeric else {},
-                    )
-                    if default is None:
-                        widget._pop_value()
+                    self.crappifier.hide()
+                    self.model.remove_child()
 
-                widget.changed.connect(partial(self._set_arguments, arg))
-                self._set_arguments(arg, default)
-
-                if idx in advanced_idx:
-                    self.advanced_container.append(widget)
-                else:
-                    self.arg_container.append(widget)
-
-            if self.crappifier is not None and choice in self._dataset_types:
-                self._set_arguments("crappifier", self.crappifier.object, raw=True)
-
-            if advanced_idx:
+            if any(spec.advanced for spec in rows):
                 self.advanced_collapse.show()
             else:
                 self.advanced_collapse.hide()
-
-        def _set_arguments(self, name, value, raw=False):
-            if value == []:
-                self.arguments[name] = None
-            elif isinstance(value, (str, Path)) and not raw:
-                self.arguments[name] = f'"{value}"'
-            else:
-                self.arguments[name] = value
-
-        def _assert_crappifier(self):
-            if self._objects[self.type.current_choice] in self._dataset_types:
-                self.crappifier.show()
-            else:
-                self.crappifier.hide()
 
     class SignalWrapper(QObject):
         """Runs a function with stdout/stderr redirected to Qt signals
