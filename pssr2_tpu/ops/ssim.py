@@ -21,6 +21,11 @@ import numpy as np
 
 _MS_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
+# Matmul precision for the Gaussian-blur banded matmuls.  "highest" forces
+# exact f32 passes (6x bf16 passes on the MXU) — the parity-safe default;
+# experiments/mxu_probe4.py measures the train-step cost of alternatives.
+BLUR_PRECISION = "highest"
+
 
 @functools.lru_cache(maxsize=16)
 def _gaussian_window(win_size: int, win_sigma: float) -> np.ndarray:
@@ -54,11 +59,11 @@ def _blur(x: jnp.ndarray, win_size: int, win_sigma: float) -> jnp.ndarray:
         )
     gh = jnp.asarray(_band_matrix(h, win_size, win_sigma), dtype=x.dtype)
     gw = jnp.asarray(_band_matrix(w, win_size, win_sigma), dtype=x.dtype)
-    # precision="highest": the SSIM loss defines quality parity with the
-    # reference; these matmuls are tiny next to model FLOPs.
+    # BLUR_PRECISION="highest" default: the SSIM loss defines quality parity
+    # with the reference; these matmuls are tiny next to model FLOPs.
     return jnp.einsum(
         "...hw,hi,wj->...ij", x, gh, gw,
-        preferred_element_type=x.dtype, precision="highest",
+        preferred_element_type=x.dtype, precision=BLUR_PRECISION,
     )
 
 
