@@ -40,18 +40,42 @@ def device_augment(key, x):
     return x
 
 
-def make_device_gen_pair(lr_scale: int, crappifier, n_frames=None, augment: bool = True):
+def make_device_gen_pair(lr_scale: int, crappifier, n_frames=None, augment: bool = True,
+                         host_fallback: bool = False):
     """Build the jittable device-side equivalent of the host ``gen_pair``
     (reference: pssr/data.py:471-495): aug -> PIL-matched downscale (MXU
     matmuls) -> crappify -> uint8 rounding. Returns
     ``fn(key, hr_u8_batch) -> (hr_f32, lr_f32)`` for (B, C, H, W) input.
+
+    Custom host crappifiers (no device lowering) are supported with
+    ``host_fallback=True``: augmentation and downscale stay fused on device
+    (keeping the uint8 transfer fast path) and only the crappify step runs
+    on host through ``jax.experimental.io_callback``.
     """
     crappify_fn = to_device_fn(crappifier) if crappifier is not None else None
+    host_crappifier = None
     if crappifier is not None and crappify_fn is None:
-        raise ValueError(
-            f"Crappifier {type(crappifier).__name__} has no device lowering; "
-            "use host_fallback=True in the loader or implement a device fn."
-        )
+        if not host_fallback:
+            raise ValueError(
+                f"Crappifier {type(crappifier).__name__} has no device lowering; "
+                "use host_fallback=True in the loader or implement a device fn."
+            )
+        host_crappifier = crappifier
+
+    def _host_crappify(lr_np):
+        # same semantics as the host path (data/io.py gen_pair:188-190):
+        # crappify per sample on the uint8-rounded LR
+        from ..crappifiers import Crappifier
+
+        lr_np = np.asarray(lr_np)
+        out = np.empty_like(lr_np, dtype=np.float32)
+        for i in range(lr_np.shape[0]):
+            if isinstance(host_crappifier, Crappifier):
+                sample = host_crappifier.crappify(lr_np[i])
+            else:
+                sample = host_crappifier(lr_np[i])
+            out[i] = np.asarray(sample, dtype=np.float32)
+        return out
 
     def gen_pair(key, hr_u8):
         hr = hr_u8.astype(jnp.float32)
@@ -66,6 +90,11 @@ def make_device_gen_pair(lr_scale: int, crappifier, n_frames=None, augment: bool
 
         if crappify_fn is not None:
             lr = jax.vmap(crappify_fn)(jax.random.split(key, b), lr)
+            lr = jnp.clip(jnp.round(lr), 0, 255)
+        elif host_crappifier is not None:
+            from jax.experimental import io_callback
+
+            lr = io_callback(_host_crappify, jax.ShapeDtypeStruct(lr.shape, jnp.float32), lr)
             lr = jnp.clip(jnp.round(lr), 0, 255)
 
         if n_frames is not None and n_frames[0] != n_frames[1]:

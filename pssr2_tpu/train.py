@@ -108,18 +108,23 @@ def _build_paired_steps(loss_fn, clamp, gen_pair):
 
 
 def _use_device_pipeline(dataset):
-    """The on-device degradation fast path applies when the dataset generates
-    LR by crappification with a device-lowerable crappifier."""
+    """The on-device degradation fast path applies when the dataset
+    generates LR by crappification.  Returns ``"fused"`` when the
+    crappifier lowers to pure JAX, ``"callback"`` when a custom host
+    crappifier runs through io_callback (augment/downscale stay fused and
+    the uint8 transfer fast path is kept), or False (host pair loader)."""
     from .ops.degrade import to_device_fn
 
-    return (
+    ok = (
         not dataset.is_lr
         and getattr(dataset, "crappifier", None) is not None
         and getattr(dataset, "extra_hr_files", None) is None
         and getattr(dataset, "transforms", None) is None
         and type(dataset).__name__ in ("ImageDataset", "SlidingDataset")
-        and to_device_fn(dataset.crappifier) is not None
     )
+    if not ok:
+        return False
+    return "fused" if to_device_fn(dataset.crappifier) is not None else "callback"
 
 
 class _PairBatchLoader:
@@ -259,10 +264,21 @@ def train_paired(
         sampler_rng = np.random.default_rng(seed)
 
     use_device_pipe = _use_device_pipeline(dataset)
+    if use_device_pipe == "callback" and mesh is not None:
+        # io_callback would funnel the sharded batch through one host; the
+        # host pair loader distributes better in that case
+        use_device_pipe = False
     gen_pair = None
     if use_device_pipe:
-        aug = make_device_gen_pair(dataset.lr_scale, dataset.crappifier, dataset.n_frames, augment=dataset.rotation)
-        no_aug = make_device_gen_pair(dataset.lr_scale, dataset.crappifier, dataset.n_frames, augment=False)
+        fallback = use_device_pipe == "callback"
+        aug = make_device_gen_pair(
+            dataset.lr_scale, dataset.crappifier, dataset.n_frames,
+            augment=dataset.rotation, host_fallback=fallback,
+        )
+        no_aug = make_device_gen_pair(
+            dataset.lr_scale, dataset.crappifier, dataset.n_frames,
+            augment=False, host_fallback=fallback,
+        )
 
         def gen_pair(key, batch, augment):
             return aug(key, batch) if augment else no_aug(key, batch)

@@ -193,3 +193,30 @@ def test_train_paired_on_paired_dataset(tmp_path):
     model = ResUNet(**SMALL)
     losses, val = train_paired(model, dataset, batch_size=2, loss_fn=MSELoss(), optim=AdamW(1e-3), epochs=1)
     assert all(np.isfinite(v) for v in losses) and len(val) == 1
+
+
+def test_custom_host_crappifier_uses_device_pipeline(tmp_path):
+    """A user-defined Crappifier subclass (no device lowering) still trains
+    through the uint8 PatchLoader fast path: augment/downscale run fused on
+    device, the crappify step runs on host via io_callback (VERDICT r1 #10)."""
+    from pssr2_tpu.crappifiers import Crappifier
+    from pssr2_tpu.data import ImageDataset
+    from pssr2_tpu.train import _use_device_pipeline
+
+    calls = {"n": 0}
+
+    class MyCrappifier(Crappifier):
+        def crappify(self, image):
+            calls["n"] += 1
+            return np.clip(image + 3.0, 0, 255)
+
+    make_tifs(tmp_path / "images", get_shape(32, batch=4))
+    dataset = ImageDataset(tmp_path / "images", hr_res=32, crappifier=MyCrappifier(), val_split=0.25)
+    assert _use_device_pipeline(dataset) == "callback"
+
+    model = ResUNet(hidden=[4, 8], depth=1, scale=4)
+    train_losses, val_losses = train_paired(
+        model, dataset, batch_size=2, loss_fn=MSELoss(), optim=AdamW(1e-3), epochs=1
+    )
+    assert calls["n"] > 0  # the host crappifier actually ran inside the jit
+    assert np.isfinite(val_losses[-1])
