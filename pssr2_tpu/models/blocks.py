@@ -86,18 +86,10 @@ class Reconstruction(nnx.Module):
             x = nnx.relu(self.pre(x))
             return self.conv(pixel_shuffle(x, self.scale, channels_last=True))
 
-        from ..ops.smallconv import phase_major_perm, shuffle_conv_small
+        from ..ops.smallconv import fused_upsample_tail
 
         dt = x.dtype if self.dtype is None else self.dtype
-        perm = phase_major_perm(self.hidden, self.scale)
-        kernel = self.pre.kernel[...][..., perm].astype(dt)
-        bias = self.pre.bias[...][perm].astype(dt)
-        y = jax.lax.conv_general_dilated(
-            x.astype(dt), kernel, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + bias
-        y = nnx.relu(y)
-        return shuffle_conv_small(y, self.conv.kernel[...], self.conv.bias[...], scale=self.scale)
+        return fused_upsample_tail(x.astype(dt), self.pre, self.conv, self.scale, activation=nnx.relu)
 
 
 class ResBlock(nnx.Module):

@@ -489,10 +489,18 @@ class SwinIR(nnx.Module):
             x = self.conv_first(x)
             x = self._after_body(self._forward_features(x)) + x
             x = jax.nn.leaky_relu(self.conv_before_upsample(x), 0.01)
-            for up_conv in self.upsample:
-                x = up_conv(x)
-                x = pixel_shuffle(x, 2 if (self.upscale & (self.upscale - 1)) == 0 else 3, channels_last=True)
-            x = self.conv_last(x)
+            s_up = 2 if (self.upscale & (self.upscale - 1)) == 0 else 3
+            for up_conv in self.upsample[:-1]:
+                x = pixel_shuffle(up_conv(x), s_up, channels_last=True)
+            if self.conv_last.kernel.shape[-1] <= 8:
+                # final shuffle + small-C_out conv fused (the naive form
+                # runs at 0.4% MXU; see ops/smallconv.py)
+                from ..ops.smallconv import fused_upsample_tail
+
+                x = fused_upsample_tail(x, self.upsample[-1], self.conv_last, s_up)
+            else:
+                x = pixel_shuffle(self.upsample[-1](x), s_up, channels_last=True)
+                x = self.conv_last(x)
         elif self.upsampler == "pixelshuffledirect":
             x = self.conv_first(x)
             x = self._after_body(self._forward_features(x)) + x

@@ -97,3 +97,26 @@ def shuffle_conv_small(y_pm, kernel, bias=None, *, scale: int):
     # mini pixel-shuffle of the phase dims: (B,H,W,s,s,Cout) -> (B,sH,sW,Cout)
     out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, s * H, s * W, Cout)
     return out.astype(y_pm.dtype)
+
+
+def fused_upsample_tail(x, pre_conv, post_conv, scale: int, activation=None):
+    """``post_conv(pixel_shuffle(act(pre_conv(x)), scale))`` fused.
+
+    ``pre_conv``/``post_conv`` are nnx.Conv modules (3x3); the pre conv's
+    output channels are virtually permuted to phase-major at trace time (a
+    tiny weight gather — STORAGE stays in the reference's c-major order, so
+    checkpoints and torch parity are unaffected) and the shuffled tensor is
+    never materialized.  ``x`` must already be in the compute dtype.
+    """
+    kernel = pre_conv.kernel[...]
+    bias = pre_conv.bias[...]
+    channels = kernel.shape[-1] // (scale * scale)
+    perm = phase_major_perm(channels, scale)
+    dt = x.dtype
+    y = lax.conv_general_dilated(
+        x, kernel[..., perm].astype(dt), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias[perm].astype(dt)
+    if activation is not None:
+        y = activation(y)
+    return shuffle_conv_small(y, post_conv.kernel[...], post_conv.bias[...], scale=scale)

@@ -163,3 +163,21 @@ def test_reconstruction_fused_head_matches_standard():
         std = np.asarray(rec(x))
         np.testing.assert_allclose(fused, std, atol=1e-4)
         assert np.abs(fused - std).max() < 1e-5
+
+
+def test_swinir_fused_tail_matches_standard():
+    """SwinIR's fused shuffle+conv_last tail equals the naive path."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from pssr2_tpu.models import SwinIR
+    from pssr2_tpu.ops.shuffle import pixel_shuffle
+    from pssr2_tpu.ops.smallconv import fused_upsample_tail
+
+    model = SwinIR(image_size=16, embed_dim=8, depths=[1], num_heads=[2], window_size=4, scale=4)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 16, 16, 8)).astype(np.float32))
+    # exercise just the tail pair on a matching-shaped input
+    feat = jnp.asarray(np.random.default_rng(1).random((1, 32, 32, model.upsample[-1].kernel.shape[2])).astype(np.float32))
+    fused = np.asarray(fused_upsample_tail(feat, model.upsample[-1], model.conv_last, 2))
+    std = np.asarray(model.conv_last(pixel_shuffle(model.upsample[-1](feat), 2, channels_last=True)))
+    np.testing.assert_allclose(fused, std, atol=1e-5)
