@@ -61,10 +61,12 @@ def _blur(x: jnp.ndarray, win_size: int, win_sigma: float) -> jnp.ndarray:
     gw = jnp.asarray(_band_matrix(w, win_size, win_sigma), dtype=x.dtype)
     # BLUR_PRECISION="highest" default: the SSIM loss defines quality parity
     # with the reference; these matmuls are tiny next to model FLOPs.
-    return jnp.einsum(
-        "...hw,hi,wj->...ij", x, gh, gw,
-        preferred_element_type=x.dtype, precision=BLUR_PRECISION,
-    )
+    # Two PAIRWISE einsums, deliberately not one three-operand einsum: the
+    # latter lowers to a form that de-optimizes the whole surrounding model
+    # backward (+23 ms on the canonical train step — measured in
+    # experiments/mxu_probe6.json; the pairwise form composes cleanly).
+    y = jnp.einsum("...hw,hi->...iw", x, gh, preferred_element_type=x.dtype, precision=BLUR_PRECISION)
+    return jnp.einsum("...iw,wj->...ij", y, gw, preferred_element_type=x.dtype, precision=BLUR_PRECISION)
 
 
 def _ssim_parts(x, y, data_range, win_size, win_sigma, k):
