@@ -1,14 +1,9 @@
-"""MXU probe round 8: is precision="highest" in the blur matmuls the
-composition trigger?
+"""MXU probe round 9: batched-blur _ssim_parts + step-overhead variants.
 
-After the pairwise-einsum rewrite the composed penalty persists (61.2 ms,
-probe7).  The one remaining difference vs probe6's fast pairwise case is
-the blur precision.  Rows:
-
-  1. composed fwd+dw, SSIMLoss mix, BLUR_PRECISION=None
-  2. composed fwd+dw, minimal loss = mean(_blur(abs diff)), highest
-  3. same, BLUR_PRECISION=None
-  4. full train step with BLUR_PRECISION=None
+Probe 8 localized the loss penalty to ~2 ms PER composed blur; _ssim_parts
+now batches its five blurs into one.  Re-measure the composed mix and the
+full step, then run the step-overhead variants (probe 5's plan):
+lean nnx step and a donated functional optax step.
 """
 
 import json
@@ -37,6 +32,7 @@ def record(name, seconds, flops=0):
 def main():
     import jax
     import jax.numpy as jnp
+    import optax
     from flax import nnx
 
     def sync(v):
@@ -88,9 +84,6 @@ def main():
     from pssr2_tpu.data.pipeline import make_device_gen_pair
     from pssr2_tpu.models import ResUNet
     from pssr2_tpu.optim import AdamW
-    import importlib
-
-    ssim_mod = importlib.import_module("pssr2_tpu.ops.ssim")
     from pssr2_tpu.train import _build_paired_steps
     from pssr2_tpu.util import SSIMLoss
 
@@ -105,35 +98,17 @@ def main():
     def tree_sum(tree):
         return sum(jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(tree))
 
-    def composed(loss_of_out):
-        def f(x):
-            def loss(st):
-                return loss_of_out(nnx.merge(gd, st)(x))
+    def f(x):
+        def loss(st):
+            return loss_fn(nnx.merge(gd, st)(x) / 255.0, hr / 255.0)
 
-            return tree_sum(jax.grad(loss)(st))[None]
+        return tree_sum(jax.grad(loss)(st))[None]
 
-        return f
+    record("fwd+dw mix, batched-blur ssim", op_time(f, lr), flops=STEP_FLOPS)
 
-    # 1. full mix, default precision
-    ssim_mod.BLUR_PRECISION = None
-    record(
-        "fwd+dw mix, BLUR_PRECISION=None",
-        op_time(composed(lambda out: loss_fn(out / 255.0, hr / 255.0)), lr),
-        flops=STEP_FLOPS,
-    )
-    ssim_mod.BLUR_PRECISION = "highest"
-
-    # 2/3. minimal real-_blur loss at both precisions
-    def min_blur_loss(out):
-        return jnp.mean(ssim_mod._blur(jnp.abs(out - hr) / 255.0, 11, 1.5))
-
-    record("fwd+dw mean(_blur(absdiff)) highest", op_time(composed(min_blur_loss), lr), flops=STEP_FLOPS)
-    ssim_mod.BLUR_PRECISION = None
-    record("fwd+dw mean(_blur(absdiff)) default", op_time(composed(min_blur_loss), lr), flops=STEP_FLOPS)
-
-    # 4. full train step, default precision
     base = make_device_gen_pair(4, Poisson(), None, augment=True)
     hr_u8 = jnp.asarray(np.random.default_rng(0).integers(0, 255, (B, 1, 512, 512)).astype(np.uint8))
+
     model2 = ResUNet(dtype=bf16)
     model2.train()
     optim = AdamW(1e-3)
@@ -141,13 +116,62 @@ def main():
     fused_step, _ = _build_paired_steps(loss_fn, False, lambda key, batch, augment: base(key, batch))
     fused_step = nnx.cached_partial(fused_step, model2, optimizer)
     record(
-        "full train step, BLUR_PRECISION=None",
+        "full train step (fused)",
         single_dispatch(lambda: fused_step(hr_u8, None, key, optim.lr, B, False)[0]),
         flops=STEP_FLOPS,
     )
-    ssim_mod.BLUR_PRECISION = "highest"
 
-    with open(os.path.join(os.path.dirname(__file__), "mxu_probe8.json"), "w") as f2:
+    # lean nnx step: no returned tensors, no _set_lr
+    model3 = ResUNet(dtype=bf16)
+    model3.train()
+    optimizer3 = nnx.Optimizer(model3, optim.tx, wrt=nnx.Param)
+
+    @nnx.jit
+    def lean_step(model, optimizer, batch, key):
+        hr_b, lr_b = base(key, batch)
+
+        def _loss(m):
+            return loss_fn(m(lr_b) / 255.0, hr_b / 255.0)
+
+        loss, grads = nnx.value_and_grad(_loss)(model)
+        optimizer.update(model, grads)
+        return loss
+
+    lean = nnx.cached_partial(lean_step, model3, optimizer3)
+    record("step lean nnx (no tensors/set_lr)", single_dispatch(lambda: lean(hr_u8, key)), flops=STEP_FLOPS)
+
+    # functional jax.jit step with optax, donated state
+    model4 = ResUNet(dtype=bf16)
+    model4.train()
+    gd4, params, rest = nnx.split(model4, nnx.Param, ...)
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+
+    def fn_step(params, rest, opt_state, batch, key):
+        hr_b, lr_b = base(key, batch)
+
+        def _loss(params):
+            m = nnx.merge(gd4, params, rest)
+            hr_hat = m(lr_b)
+            _, _, new_rest = nnx.split(m, nnx.Param, ...)
+            return loss_fn(hr_hat / 255.0, hr_b / 255.0), new_rest
+
+        (loss, new_rest), grads = jax.value_and_grad(_loss, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_rest, opt_state, loss
+
+    fn_step_d = jax.jit(fn_step, donate_argnums=(0, 1, 2))
+    state = [params, rest, opt_state]
+
+    def run_functional():
+        p, r, o, loss = fn_step_d(state[0], state[1], state[2], hr_u8, key)
+        state[0], state[1], state[2] = p, r, o
+        return loss
+
+    record("step functional optax donated", single_dispatch(run_functional), flops=STEP_FLOPS)
+
+    with open(os.path.join(os.path.dirname(__file__), "mxu_probe9.json"), "w") as f2:
         json.dump(RESULTS, f2, indent=1)
 
 

@@ -74,12 +74,17 @@ def _ssim_parts(x, y, data_range, win_size, win_sigma, k):
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
 
-    mu1 = _blur(x, win_size, win_sigma)
-    mu2 = _blur(y, win_size, win_sigma)
+    # one batched blur for all five moment maps instead of five separate
+    # blurs: identical numerics (same matmuls, batched), but each composed
+    # blur costs ~2 ms inside the train-step graph (experiments/
+    # mxu_probe8.json), so 5 -> 1 einsums per scale is a real win
+    stacked = jnp.concatenate([x, y, x * x, y * y, x * y], axis=0)
+    blurred = _blur(stacked, win_size, win_sigma)
+    mu1, mu2, xx_b, yy_b, xy_b = jnp.split(blurred, 5, axis=0)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur(x * x, win_size, win_sigma) - mu1_sq
-    sigma2_sq = _blur(y * y, win_size, win_sigma) - mu2_sq
-    sigma12 = _blur(x * y, win_size, win_sigma) - mu1_mu2
+    sigma1_sq = xx_b - mu1_sq
+    sigma2_sq = yy_b - mu2_sq
+    sigma12 = xy_b - mu1_mu2
 
     cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
     ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
