@@ -2,6 +2,15 @@
 double-buffered host->HBM feed.
 """
 
-from .mesh import data_mesh, shard_batch, replicate
+from .mesh import data_mesh, data_model_mesh, shard_batch, replicate
+from .tp import SWINIR_TP_RULES, shard_module, tp_shardings
 
-__all__ = ["data_mesh", "shard_batch", "replicate"]
+__all__ = [
+    "data_mesh",
+    "data_model_mesh",
+    "shard_batch",
+    "replicate",
+    "SWINIR_TP_RULES",
+    "shard_module",
+    "tp_shardings",
+]

@@ -181,6 +181,7 @@ def train_paired(
     mesh=None,
     seed: int = 0,
     state_dir: str = None,
+    tp_rules=None,
 ):
     """Trains model on paired high-low-resolution crappified data
     (reference: pssr/train.py:19-166; same control surface).
@@ -220,9 +221,15 @@ def train_paired(
             pssr/util.py:228-231).
 
         mesh : Optional ``jax.sharding.Mesh`` with a ``data`` axis for
-            multi-chip data parallelism.
+            multi-chip data parallelism (optionally a ``model`` axis too,
+            see ``tp_rules``).
 
         seed (int) : RNG seed for on-device augmentation/crappification.
+
+        tp_rules : Optional tensor-parallel sharding rules (e.g.
+            :data:`pssr2_tpu.parallel.tp.SWINIR_TP_RULES`) applied to model
+            and optimizer state when ``mesh`` has a ``model`` axis of size
+            >1; XLA inserts the TP collectives from the layouts.
 
         state_dir (str) : Fault-tolerance directory.  When set, the FULL
             train state (params + optimizer + epoch) is checkpointed each
@@ -295,7 +302,13 @@ def train_paired(
 
     optimizer = nnx.Optimizer(model, optim.tx, wrt=nnx.Param)
     if mesh is not None:
-        _replicate_module_state(mesh, model, optimizer)
+        if tp_rules is not None and dict(mesh.shape).get("model", 1) > 1:
+            from .parallel.tp import shard_module
+
+            shard_module(model, mesh, tp_rules)
+            shard_module(optimizer, mesh, tp_rules)
+        else:
+            _replicate_module_state(mesh, model, optimizer)
         data_shard = batch_sharding(mesh)
     else:
         data_shard = None
