@@ -29,7 +29,10 @@ Measured on v5e (bf16, canonical shapes): 2.9 ms vs 7.3 ms for
 shuffle+conv (experiments/mxu_probe2.json).
 """
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -40,6 +43,71 @@ def phase_major_perm(channels: int, scale: int) -> np.ndarray:
     c*s^2 + p."""
     s2 = scale * scale
     return (np.arange(channels)[None, :] * s2 + np.arange(s2)[:, None]).reshape(-1)
+
+
+def _phase_extend(z, s):
+    """Phase-extended view of a (B, H, W, pr, pc, ...) phase tensor: entry
+    e on a phase axis corresponds to a = e-1, i.e. phase a mod s at LR
+    offset a//s; the out-of-range entries wrap to the neighboring LR
+    row/column (zero at the sheet edge, matching SAME zero padding).
+    Returns (B, H, W, pr+2, pc+2, ...)."""
+    nd = z.ndim
+    pad_h = [(0, 0)] * nd
+    pad_h[1] = (1, 0)
+    zm = jnp.pad(z[:, :-1, :, s - 1 : s], pad_h)
+    pad_h[1] = (0, 1)
+    zq = jnp.pad(z[:, 1:, :, 0:1], pad_h)
+    ze = jnp.concatenate([zm, z, zq], axis=3)
+    pad_w = [(0, 0)] * nd
+    pad_w[2] = (1, 0)
+    zl = jnp.pad(ze[:, :, :-1, :, s - 1 : s], pad_w)
+    pad_w[2] = (0, 1)
+    zr = jnp.pad(ze[:, :, 1:, :, 0:1], pad_w)
+    return jnp.concatenate([zl, ze, zr], axis=4)
+
+
+@functools.lru_cache(maxsize=32)
+def _phase_resolve_fn(s: int, dtype_name: str):
+    """custom_vjp phase-resolve for a given (scale, input dtype).
+
+    The op is linear in z, so the VJP needs NO residuals and its transpose
+    is the same phase-extend + shifted-slice pattern applied to the
+    cotangent (window (2-u, 2-v) instead of (u, v)).  Without this, XLA
+    materializes the (B,H,W,s+2,s+2,9,Cout) extended tensor repeatedly in
+    the autodiff backward when the surrounding graph is complex (measured:
+    3.2 GB of temps and ~+20 ms on the canonical train step when composed
+    with the SSIM loss — experiments/mxu_probe10).
+    """
+
+    @jax.custom_vjp
+    def resolve(z):
+        # z: (B,H,W,s,s,9,Cout) -> f32 (B,H,W,s,s,Cout); out[d] += ze[d+u]
+        ze = _phase_extend(z, s)
+        return sum(
+            ze[:, :, :, u : u + s, v : v + s, 3 * u + v].astype(jnp.float32)
+            for u in range(3)
+            for v in range(3)
+        )
+
+    def fwd(z):
+        return resolve(z), None
+
+    def bwd(_, g):
+        # dz[a, tap (u,v)] = EXT(g)[a+2-u, a+2-v]  (see module docstring)
+        ge = _phase_extend(g, s)
+        taps = [
+            ge[:, :, :, 2 - u : 2 - u + s, 2 - v : 2 - v + s].astype(dtype_name)
+            for u in range(3)
+            for v in range(3)
+        ]
+        return (jnp.stack(taps, axis=5),)
+
+    resolve.defvjp(fwd, bwd)
+    return resolve
+
+
+def _phase_resolve(z, s):
+    return _phase_resolve_fn(s, z.dtype.name)(z)
 
 
 def shuffle_conv_small(y_pm, kernel, bias=None, *, scale: int):
@@ -75,22 +143,7 @@ def shuffle_conv_small(y_pm, kernel, bias=None, *, scale: int):
     )  # (B,H,W,s^2,9*Cout)
     z = z.reshape(B, H, W, s, s, 9, Cout)
 
-    # phase-extended views: entry e on the row-phase axis corresponds to
-    # a = e-1 = di+u-1, i.e. input phase a mod s at LR row offset a//s;
-    # the out-of-range entries wrap to the neighboring LR row (zero at the
-    # sheet edge, matching the conv's SAME zero padding).
-    zm = jnp.pad(z[:, :-1, :, s - 1 : s], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0), (0, 0), (0, 0)))
-    zq = jnp.pad(z[:, 1:, :, 0:1], ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0), (0, 0), (0, 0)))
-    ze = jnp.concatenate([zm, z, zq], axis=3)  # (B,H,W,s+2,s,9,Cout)
-    zl = jnp.pad(ze[:, :, :-1, :, s - 1 : s], ((0, 0), (0, 0), (1, 0), (0, 0), (0, 0), (0, 0), (0, 0)))
-    zr = jnp.pad(ze[:, :, 1:, :, 0:1], ((0, 0), (0, 0), (0, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
-    ze = jnp.concatenate([zl, ze, zr], axis=4)  # (B,H,W,s+2,s+2,9,Cout)
-
-    out = sum(
-        ze[:, :, :, u : u + s, v : v + s, 3 * u + v].astype(jnp.float32)
-        for u in range(3)
-        for v in range(3)
-    )  # (B,H,W,s,s,Cout)
+    out = _phase_resolve(z, s)  # f32 (B,H,W,s,s,Cout)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
 

@@ -181,3 +181,43 @@ def test_swinir_fused_tail_matches_standard():
     fused = np.asarray(fused_upsample_tail(feat, model.upsample[-1], model.conv_last, 2))
     std = np.asarray(model.conv_last(pixel_shuffle(model.upsample[-1](feat), 2, channels_last=True)))
     np.testing.assert_allclose(fused, std, atol=1e-5)
+
+
+def test_fused_head_gradient_matches_autodiff_reference():
+    """The custom VJP on the phase-resolve step (ops/smallconv.py) is the
+    hand-written transpose of a linear op; its gradients must equal autodiff
+    through the naive shuffle+conv formulation for all inputs (y, kernel,
+    bias).  The custom VJP exists because XLA materializes the phase-
+    extended tensor (3.2 GB on canonical shapes) in the autodiff backward
+    when composed with the SSIM loss (experiments/mxu_probe10)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pssr2_tpu.ops import smallconv as sc
+    from pssr2_tpu.ops.shuffle import pixel_shuffle
+
+    rng = np.random.default_rng(0)
+    for s, B, H, W, C, Cout in [(4, 2, 8, 8, 5, 1), (2, 1, 6, 7, 3, 2), (3, 2, 5, 5, 4, 3)]:
+        y_cm = jnp.asarray(rng.random((B, H, W, s * s * C), np.float32))
+        perm = sc.phase_major_perm(C, s)
+        k = jnp.asarray(rng.random((3, 3, C, Cout), np.float32) - 0.5)
+        b = jnp.asarray(rng.random((Cout,), np.float32))
+
+        def ref(y_cm, k, b):
+            xs = pixel_shuffle(y_cm, s, channels_last=True)
+            o = lax.conv_general_dilated(
+                xs, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            return o + b
+
+        def fused(y_cm, k, b):
+            return sc.shuffle_conv_small(y_cm[..., perm], k, b, scale=s)
+
+        np.testing.assert_allclose(
+            np.asarray(fused(y_cm, k, b)), np.asarray(ref(y_cm, k, b)), rtol=1e-5, atol=1e-5
+        )
+        g1 = jax.grad(lambda *a: jnp.sum(jnp.sin(fused(*a))), argnums=(0, 1, 2))(y_cm, k, b)
+        g2 = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))), argnums=(0, 1, 2))(y_cm, k, b)
+        for got, want in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
