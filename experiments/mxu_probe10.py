@@ -70,7 +70,9 @@ def main():
     bf16 = jnp.bfloat16
     STEP_FLOPS = 3 * 63.3e9 * B
 
-    import pssr2_tpu.ops.ssim as ssim_mod
+    import pssr2_tpu.ops.ssim  # noqa: F401 — package __init__ shadows the name
+
+    ssim_mod = sys.modules["pssr2_tpu.ops.ssim"]
     from pssr2_tpu.models import ResUNet
     from pssr2_tpu.util import SSIMLoss
 
