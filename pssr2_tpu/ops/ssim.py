@@ -69,29 +69,92 @@ def _blur(x: jnp.ndarray, win_size: int, win_sigma: float) -> jnp.ndarray:
     return jnp.einsum("...iw,wj->...ij", y, gw, preferred_element_type=x.dtype, precision=BLUR_PRECISION)
 
 
+def _moments_to_ssim_maps(mu1, mu2, xx_b, yy_b, xy_b, c1, c2):
+    """(ssim_map, cs_map) from the five blurred moment maps (pure autodiff
+    reference formulation; `_moments_to_ssim` wraps it with an analytic
+    VJP for the train-step hot path)."""
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = xx_b - mu1_sq
+    sigma2_sq = yy_b - mu2_sq
+    sigma12 = xy_b - mu1_mu2
+    cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
+    ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
+    return ssim_map, cs_map
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _moments_to_ssim(mu1, mu2, xx_b, yy_b, xy_b, c1, c2):
+    """Per-channel (ssim, cs) means from the five blurred moment maps.
+
+    Carries an analytic VJP: the autodiff backward of the map arithmetic
+    fragments into many (B,C,H,W)-sized fusions (measured ~6 ms of f32 map
+    traffic on the canonical composed train step, experiments/mxu_probe10);
+    the hand-derived gradient is one fused elementwise pass over the five
+    saved inputs.
+    """
+    ssim_map, cs_map = _moments_to_ssim_maps(mu1, mu2, xx_b, yy_b, xy_b, c1, c2)
+    return (
+        ssim_map.reshape(*ssim_map.shape[:2], -1).mean(-1),
+        cs_map.reshape(*cs_map.shape[:2], -1).mean(-1),
+    )
+
+
+def _moments_to_ssim_fwd(mu1, mu2, xx_b, yy_b, xy_b, c1, c2):
+    out = _moments_to_ssim(mu1, mu2, xx_b, yy_b, xy_b, c1, c2)
+    return out, (mu1, mu2, xx_b, yy_b, xy_b)
+
+
+def _moments_to_ssim_bwd(c1, c2, res, g):
+    # With A1 = 2 mu1 mu2 + c1, B1 = mu1^2 + mu2^2 + c1, A2 = 2 sigma12 + c2,
+    # B2 = sigma1^2 + sigma2^2 + c2, R = A1/B1, S = A2/B2:
+    #   ssim_pc = mean(R S),  cs_pc = mean(S)
+    # d/dA1 = gs S / B1;  d/dB1 = -gs S R / B1
+    # d/dA2 = t / B2;     d/dB2 = -t S / B2        with t = gs R + gcs
+    # chain to the moments:  g_xx = g_yy = dB2,  g_xy = 2 dA2,
+    #   g_mu1 = 2 [mu2 (dA1 - dA2) + mu1 (dB1 - dB2)]   (and symmetrically).
+    mu1, mu2, xx_b, yy_b, xy_b = res
+    g_s, g_cs = g
+    n = mu1.shape[-2] * mu1.shape[-1]
+    extra = mu1.ndim - 2
+    gs = (g_s / n).reshape(g_s.shape + (1,) * extra).astype(mu1.dtype)
+    gcs = (g_cs / n).reshape(g_cs.shape + (1,) * extra).astype(mu1.dtype)
+
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    a1 = 2 * mu1_mu2 + c1
+    b1 = mu1_sq + mu2_sq + c1
+    a2 = 2 * (xy_b - mu1_mu2) + c2
+    b2 = (xx_b - mu1_sq) + (yy_b - mu2_sq) + c2
+    r = a1 / b1
+    s = a2 / b2
+
+    t = gs * r + gcs
+    da1 = gs * s / b1
+    db1 = -da1 * r
+    da2 = t / b2
+    db2 = -da2 * s
+
+    g_xx = db2
+    g_xy = 2 * da2
+    g_mu1 = 2 * (mu2 * (da1 - da2) + mu1 * (db1 - db2))
+    g_mu2 = 2 * (mu1 * (da1 - da2) + mu2 * (db1 - db2))
+    return g_mu1, g_mu2, g_xx, g_xx, g_xy
+
+
+_moments_to_ssim.defvjp(_moments_to_ssim_fwd, _moments_to_ssim_bwd)
+
+
 def _ssim_parts(x, y, data_range, win_size, win_sigma, k):
     k1, k2 = k
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
 
     # one batched blur for all five moment maps instead of five separate
-    # blurs: identical numerics (same matmuls, batched), but each composed
-    # blur costs ~2 ms inside the train-step graph (experiments/
-    # mxu_probe8.json), so 5 -> 1 einsums per scale is a real win
+    # blurs: identical numerics (same matmuls, batched); the composed
+    # backward fuses best with a single einsum pair per scale
     stacked = jnp.concatenate([x, y, x * x, y * y, x * y], axis=0)
     blurred = _blur(stacked, win_size, win_sigma)
     mu1, mu2, xx_b, yy_b, xy_b = jnp.split(blurred, 5, axis=0)
-    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = xx_b - mu1_sq
-    sigma2_sq = yy_b - mu2_sq
-    sigma12 = xy_b - mu1_mu2
-
-    cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
-    ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
-
-    ssim_per_channel = ssim_map.reshape(*ssim_map.shape[:2], -1).mean(-1)
-    cs_per_channel = cs_map.reshape(*cs_map.shape[:2], -1).mean(-1)
-    return ssim_per_channel, cs_per_channel
+    return _moments_to_ssim(mu1, mu2, xx_b, yy_b, xy_b, float(c1), float(c2))
 
 
 def ssim(
@@ -113,10 +176,12 @@ def ssim(
 
 def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
     """2x2 average pool, stride 2, with zero pad = dim % 2 (torch semantics:
-    padded zeros are counted in the divisor).  Reshape-mean instead of
-    reduce_window: single-channel windows underuse the TPU lanes."""
+    padded zeros are counted in the divisor, and for odd dims the trailing
+    padded row/col is dropped by the output-size floor — so only the front
+    pad survives).  Reshape-mean instead of reduce_window: single-channel
+    windows underuse the TPU lanes."""
     pad_h, pad_w = x.shape[2] % 2, x.shape[3] % 2
-    x = jnp.pad(x, ((0, 0), (0, 0), (pad_h, pad_h), (pad_w, pad_w)))
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad_h, 0), (pad_w, 0)))
     b, c, h, w = x.shape
     x = x.reshape(b, c, h // 2, 2, w // 2, 2)
     return x.sum(axis=(3, 5)) / 4.0

@@ -136,3 +136,69 @@ def test_ms_ssim_matches_torch_conv_oracle():
     stacked = torch.stack(mcs + [torch.relu(s)], dim=0)
     val = torch.prod(stacked ** weights.reshape(-1, 1, 1), dim=0)
     assert ours == pytest.approx(float(val.mean()), abs=1e-4)
+
+
+def test_avg_pool2_matches_torch_incl_odd_dims():
+    """_avg_pool2 implements torch avg_pool2d(k=2, padding=dim%2,
+    count_include_pad=True) semantics.  For odd dims torch's output-size
+    floor drops the trailing pad, so only the front pad survives — the
+    previous symmetric pad crashed on odd sheets (e.g. 250^2 at level 3)."""
+    import jax.numpy as jnp
+
+    from pssr2_tpu.ops.ssim import _avg_pool2
+
+    rng = np.random.default_rng(0)
+    for h, w in [(27, 27), (28, 27), (30, 30), (125, 125), (16, 31)]:
+        x = rng.random((2, 3, h, w)).astype(np.float32)
+        want = tF.avg_pool2d(
+            torch.from_numpy(x), kernel_size=2, padding=(h % 2, w % 2), count_include_pad=True
+        ).numpy()
+        got = np.asarray(_avg_pool2(jnp.asarray(x)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_ms_ssim_odd_sheet_sizes():
+    """MS-SSIM over non-power-of-two sheets (odd dims appear at deeper
+    pyramid levels) is finite and crash-free."""
+    x = get_image((1, 1, 250, 250), seed=8).astype(np.float32)
+    y = get_image((1, 1, 250, 250), seed=9).astype(np.float32)
+    v = float(ms_ssim(x, y, data_range=255))
+    assert np.isfinite(v) and -1 <= v <= 1
+
+
+def test_ssim_parts_analytic_vjp_matches_autodiff():
+    """ops/ssim.py's _moments_to_ssim carries a hand-derived VJP (one fused
+    elementwise backward pass, experiments/mxu_probe10); its gradients must
+    equal autodiff through the plain map formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from pssr2_tpu.ops.ssim import _blur, _moments_to_ssim_maps, _ssim_parts
+
+    def naive_parts(x, y):
+        c1, c2 = 0.01**2, 0.03**2
+        stacked = jnp.concatenate([x, y, x * x, y * y, x * y], axis=0)
+        blurred = _blur(stacked, 11, 1.5)
+        mu1, mu2, xx_b, yy_b, xy_b = jnp.split(blurred, 5, axis=0)
+        sm, cm = _moments_to_ssim_maps(mu1, mu2, xx_b, yy_b, xy_b, c1, c2)
+        return sm.reshape(*sm.shape[:2], -1).mean(-1), cm.reshape(*cm.shape[:2], -1).mean(-1)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 1, 48, 48), np.float32))
+    y = jnp.asarray(rng.random((2, 1, 48, 48), np.float32))
+
+    def mixed(parts):
+        def f(x, y):
+            s, c = parts(x, y)
+            return jnp.sum(jnp.sin(s) * 1.3 + jnp.cos(c))
+
+        return f
+
+    custom = mixed(lambda x, y: _ssim_parts(x, y, 1.0, 11, 1.5, (0.01, 0.03)))
+    naive = mixed(naive_parts)
+    np.testing.assert_allclose(float(custom(x, y)), float(naive(x, y)), rtol=1e-6)
+    g1 = jax.grad(custom, argnums=(0, 1))(x, y)
+    g2 = jax.grad(naive, argnums=(0, 1))(x, y)
+    for got, want in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-7)
