@@ -107,6 +107,58 @@ def _build_paired_steps(loss_fn, clamp, gen_pair):
     return train_step, val_step
 
 
+def _build_multi_train_step(loss_fn, clamp, gen_pair):
+    """K train steps in ONE jitted dispatch via ``nnx.scan``
+    (``train_paired(steps_per_dispatch=K)``).
+
+    Amortizes per-dispatch host cost (measured ~4 ms/step through a
+    tunneled TPU, experiments/mxu_probe11) and lets XLA overlap step
+    boundaries.  Numerically identical to K single steps up to fp
+    reassociation (tests/test_train.py).  Full batches only — partial and
+    metric/collage batches run through the per-step path.
+    """
+
+    def _loss(model, lr, hr, extra):
+        hr_hat = model(lr)
+        if clamp:
+            hr_hat = jnp.clip(hr_hat, 0, IMAGE_RANGE)
+        if extra is None:
+            return loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE)
+        return loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE, extra / IMAGE_RANGE)
+
+    def _one(model, optimizer, batch, extra, step_key):
+        if gen_pair is not None:
+            hr, lr = gen_pair(step_key, batch, augment=True)
+        else:
+            hr, lr = batch
+        loss, grads = nnx.value_and_grad(_loss, argnums=0)(model, lr, hr, extra)
+        optimizer.update(model, grads)
+        return loss
+
+    @nnx.jit
+    def multi_train_step(model, optimizer, batches, extras, keys, lr_rate):
+        _set_lr(optimizer, lr_rate)
+        if extras is None:
+
+            @nnx.scan(in_axes=(nnx.Carry, 0, 0), out_axes=(nnx.Carry, 0))
+            def body(carry, batch, step_key):
+                model, optimizer = carry
+                return (model, optimizer), _one(model, optimizer, batch, None, step_key)
+
+            _, losses = body((model, optimizer), batches, keys)
+        else:
+
+            @nnx.scan(in_axes=(nnx.Carry, 0, 0, 0), out_axes=(nnx.Carry, 0))
+            def body(carry, batch, extra, step_key):
+                model, optimizer = carry
+                return (model, optimizer), _one(model, optimizer, batch, extra, step_key)
+
+            _, losses = body((model, optimizer), batches, extras, keys)
+        return losses
+
+    return multi_train_step
+
+
 def _use_device_pipeline(dataset):
     """The on-device degradation fast path applies when the dataset
     generates LR by crappification.  Returns ``"fused"`` when the
@@ -182,6 +234,7 @@ def train_paired(
     seed: int = 0,
     state_dir: str = None,
     tp_rules=None,
+    steps_per_dispatch: int = 1,
 ):
     """Trains model on paired high-low-resolution crappified data
     (reference: pssr/train.py:19-166; same control surface).
@@ -230,6 +283,14 @@ def train_paired(
             :data:`pssr2_tpu.parallel.tp.SWINIR_TP_RULES`) applied to model
             and optimizer state when ``mesh`` has a ``model`` axis of size
             >1; XLA inserts the TP collectives from the layouts.
+
+        steps_per_dispatch (int) : Train steps fused into one jitted
+            dispatch via ``nnx.scan`` (default 1 = per-step).  >1 amortizes
+            host dispatch cost and lets XLA overlap step boundaries;
+            numerically identical to per-step up to fp reassociation.
+            Metric/collage/partial batches still run per-step, so the
+            logging surface is unchanged; callbacks that receive
+            ``locals()`` force the per-step path.
 
         state_dir (str) : Fault-tolerance directory.  When set, the FULL
             train state (params + optimizer + epoch) is checkpointed each
@@ -315,6 +376,17 @@ def train_paired(
 
     train_step, val_step = _build_paired_steps(loss_fn, clamp, gen_pair)
 
+    # steps_per_dispatch > 1: fuse K steps into one dispatch via nnx.scan.
+    # Locals-callbacks need per-batch tensors, so they force per-step.
+    use_multi = steps_per_dispatch > 1 and not any(callback_locals)
+    multi_train_step = _build_multi_train_step(loss_fn, clamp, gen_pair) if use_multi else None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        multi_shard = NamedSharding(mesh, _P(None, "data"))
+    else:
+        multi_shard = None
+
     # Fault tolerance: epoch-level resumable state + graceful SIGTERM save
     start_epoch = 0
     term_flag = {"set": False}
@@ -360,13 +432,57 @@ def train_paired(
         # cached_partial pins the module traversal: per-batch Python dispatch
         # drops ~6x (rebuilt each epoch because train/eval flip the graphdef)
         cached_train_step = nnx.cached_partial(train_step, model, optimizer)
+        cached_multi_step = (
+            nnx.cached_partial(multi_train_step, model, optimizer) if use_multi else None
+        )
         print(f"Epoch {epoch}:")
         n_batches = len(train_loader)
+
+        pending = []  # buffered full batches for the scan path
+
+        def _flush_pending():
+            if not pending:
+                return
+            if len(pending) == 1:
+                b, e, k1 = pending[0]
+                cached_train_step(b, e, k1, optim.lr, batch_size, False)
+            else:
+                if gen_pair is not None:
+                    batches = jnp.stack([p[0] for p in pending])
+                else:
+                    batches = (
+                        jnp.stack([p[0][0] for p in pending]),
+                        jnp.stack([p[0][1] for p in pending]),
+                    )
+                extras = (
+                    None if pending[0][1] is None else jnp.stack([p[1] for p in pending])
+                )
+                keys = jnp.stack([p[2] for p in pending])
+                if multi_shard is not None:
+                    batches = jax.device_put(batches, multi_shard)
+                    if extras is not None:
+                        extras = jax.device_put(extras, multi_shard)
+                cached_multi_step(batches, extras, keys, optim.lr)
+            pending.clear()
 
         progress = tqdm(_wrap_batches(train_loader), total=n_batches)
         for batch_idx, (batch, extra, n_valid) in enumerate(progress):
             key, step_key = jax.random.split(key)
             with_metrics = batch_idx % log_frequency == 0 or batch_idx == n_batches - 1
+            if (
+                use_multi
+                and not with_metrics
+                and n_valid == batch_size
+                and batch_idx < n_batches - 2
+                and not term_flag["set"]
+            ):
+                pending.append((batch, extra, step_key))
+                if len(pending) == steps_per_dispatch:
+                    _flush_pending()
+                for callback in callbacks:
+                    callback()
+                continue
+            _flush_pending()
             loss, metrics, tensors = cached_train_step(
                 batch, extra, step_key, optim.lr, n_valid, with_metrics
             )
@@ -398,6 +514,8 @@ def train_paired(
                 save_full_state(state_dir, model, optimizer, epoch)
                 print(f"SIGTERM: saved train state at epoch {epoch} to {state_dir}; exiting.")
                 raise SystemExit(0)
+
+        _flush_pending()
 
         # Validation (seeded sampler order; reference: pssr/train.py:121-148)
         model.eval()

@@ -220,3 +220,26 @@ def test_custom_host_crappifier_uses_device_pipeline(tmp_path):
     )
     assert calls["n"] > 0  # the host crappifier actually ran inside the jit
     assert np.isfinite(val_losses[-1])
+
+
+def test_train_paired_steps_per_dispatch_parity(tmp_path):
+    """steps_per_dispatch>1 fuses full batches into one nnx.scan dispatch;
+    the recorded loss surface (log_frequency batches + validation) must
+    match the per-step path to fp-reassociation level."""
+    dataset = _dataset(tmp_path, n=12)
+
+    def run(spd):
+        import random
+
+        random.seed(0)  # the train sampler shuffles via the global RNG
+        model = ResUNet(**SMALL, rngs=None)
+        return train_paired(
+            model, dataset, batch_size=2, loss_fn=MSELoss(), optim=AdamW(1e-3),
+            epochs=1, log_frequency=3, seed=7, steps_per_dispatch=spd,
+        )
+
+    t1, v1 = run(1)
+    t3, v3 = run(3)
+    assert len(t1) == len(t3) and len(v1) == len(v3)
+    np.testing.assert_allclose(t3, t1, rtol=1e-4)
+    np.testing.assert_allclose(v3, v1, rtol=1e-4)
