@@ -84,17 +84,21 @@ def main():
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, s * H, s * W, Cout)
         return out.astype(y_pm.dtype)
 
-    # bitwise check
-    a = np.asarray(current(y_pm)).astype(np.float32)
-    b = np.asarray(dense(y_pm)).astype(np.float32)
-    print(f"max |current - dense| = {np.abs(a - b).max()}", flush=True)
+    if not os.environ.get("SKIP_FWD"):
+        # bitwise check
+        a = np.asarray(current(y_pm)).astype(np.float32)
+        b = np.asarray(dense(y_pm)).astype(np.float32)
+        print(f"max |current - dense| = {np.abs(a - b).max()}", flush=True)
 
-    record("tail fwd current (N=9)", op_time(current, y_pm))
-    record("tail fwd dense (N=144)", op_time(dense, y_pm))
+        record("tail fwd current (N=9)", op_time(current, y_pm))
+        record("tail fwd dense (N=144)", op_time(dense, y_pm))
 
     def fwdbwd(f):
         def g(y_pm):
-            return jax.grad(lambda y: jnp.sum(f(y).astype(jnp.float32)))(y_pm).reshape(-1)[:1]
+            # sum the FULL gradient: slicing it lets XLA DCE the backward
+            return jnp.sum(
+                jax.grad(lambda y: jnp.sum(f(y).astype(jnp.float32)))(y_pm).astype(jnp.float32)
+            )[None]
 
         return g
 
