@@ -45,7 +45,9 @@ def main():
     model.train()
     optim = AdamW(1e-3)
     optimizer = nnx.Optimizer(model, optim.tx, wrt=nnx.Param)
-    step, _ = _build_paired_steps(SSIMLoss(mix=0.8, ms=True), False, lambda k, b, a: base(k, b))
+    step, _ = _build_paired_steps(
+        SSIMLoss(mix=0.8, ms=True), False, lambda key, batch, augment: base(key, batch)
+    )
     step = nnx.cached_partial(step, model, optimizer)
 
     def run():

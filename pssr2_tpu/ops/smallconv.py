@@ -37,6 +37,13 @@ import jax.numpy as jnp
 from jax import lax
 
 
+# Composition knobs for the z contraction (see the comment at the use
+# site); defaults chosen by the full-train-step probe, not standalone
+# micro-benchmarks (experiments/mxu_probe14).
+Z_MODE = "sparse"
+Z_BARRIER = True
+
+
 def phase_major_perm(channels: int, scale: int) -> np.ndarray:
     """Out-channel permutation turning a c-major (torch pixel_shuffle)
     conv into a phase-major one: new channel p*C + c reads old channel
@@ -141,15 +148,19 @@ def shuffle_conv_small(y_pm, kernel, bias=None, *, scale: int):
     # phase dim in M the contraction has N = 9*Cout output lanes (7% of
     # 128 at Cout=1); folding the phase structure into N via the
     # block-diagonal W_dense = I_{s^2} (x) wt fills the lanes at s^2x the
-    # (zero-padded) FLOPs — bitwise-identical (0*y and x+0 are exact) and
-    # ~2x faster end-to-end (experiments/mxu_probe13: head fwd 2.99 ->
-    # 1.57 ms at canonical shapes).
-    if s * s * 9 * Cout <= 512:
+    # (zero-padded) FLOPs — bitwise-identical (0*y and x+0 are exact).
+    # Standalone the dense form is ~2x faster (mxu_probe13), but inside
+    # the full train step XLA fuses the dot into the phase-resolve slices
+    # as a slow loop fusion (profiler capture, experiments/profile_out);
+    # Z_MODE/Z_BARRIER let the step probe pick the composition-safe form.
+    if Z_MODE == "dense" and s * s * 9 * Cout <= 512:
         eye = jnp.eye(s * s, dtype=wt.dtype)
         w_dense = jnp.einsum("ij,ab->iajb", eye, wt).reshape(s * s * C, s * s * 9 * Cout)
-        z = lax.dot_general(y_pm, w_dense, (((3,), (0,)), ((), ())))
+        z = lax.dot_general(y_pm, w_dense, (((4 - 1,), (0,)), ((), ())))
     else:
         z = lax.dot_general(y_pm.reshape(B, H, W, s * s, C), wt, (((4,), (0,)), ((), ())))
+    if Z_BARRIER:
+        z = lax.optimization_barrier(z)
     z = z.reshape(B, H, W, s, s, 9, Cout)
 
     out = _phase_resolve(z, s)  # f32 (B,H,W,s,s,Cout)
