@@ -52,8 +52,13 @@ def conv(in_features, out_features, kernel_size, *, rngs, dilation=1, padding="S
 
 
 def batch_norm(features, *, rngs, dtype=None, eps=1e-5):
-    # torch BatchNorm2d(momentum=0.1) == nnx momentum 0.9
-    return nnx.BatchNorm(features, momentum=0.9, epsilon=eps, dtype=dtype, rngs=rngs)
+    # torch BatchNorm2d(momentum=0.1) == nnx momentum 0.9.  FastBatchNorm
+    # is numerically equivalent to nnx.BatchNorm (tests/test_models.py)
+    # with an analytic VJP that un-fragments the train-step backward
+    # (ops/batchnorm.py).
+    from ..ops.batchnorm import FastBatchNorm
+
+    return FastBatchNorm(features, momentum=0.9, epsilon=eps, dtype=dtype, rngs=rngs)
 
 
 class Reconstruction(nnx.Module):

@@ -1,0 +1,124 @@
+"""Train-mode BatchNorm with an analytic VJP (channels-last).
+
+Functionally equivalent to ``nnx.BatchNorm(momentum, epsilon)`` (flax
+normalization.py: fast-variance stats in float32, stop-gradient running
+updates), but the whole BN family is reformulated so XLA emits clean
+single-purpose passes:
+
+- forward stats: one fused ``mean`` / ``mean(x^2)`` pair over the
+  flattened (N, C) view;
+- forward apply: a pure per-channel affine ``x * a + b`` (fuses into the
+  adjacent ReLU/conv pad);
+- backward: two channel reductions (``sum(gy)``, ``sum(gy * x)``) plus one
+  affine pass ``gy * a + x * c2 + c1``.
+
+Rationale: the autodiff backward of the stock BN graph fragments into
+multi-operand fusions measured at ~30-50% of HBM bandwidth — ~13 ms/step
+across the canonical ResUNet's 20 BN layers (profiler capture,
+experiments/profile_out), while a clean channel reduction runs at
+~680 GB/s on the same tensors.  Reference semantics: torch BatchNorm2d
+(pssr/models/_blocks.py uses nn.BatchNorm2d; torch momentum 0.1 ==
+flax/nnx momentum 0.9).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+from jax import lax
+
+
+def _stats(x):
+    xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    mu = xf.mean(0)
+    mu2 = (xf * xf).mean(0)
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    return mu, var
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bn_train(x, scale, bias, eps):
+    """(y, mean, var) for train-mode BN over the last axis of ``x``.
+
+    ``scale``/``bias`` are float32 params; stats are float32; ``y`` is in
+    ``x.dtype`` (matching nnx.BatchNorm's promote-then-normalize path).
+    """
+    mu, var = _stats(x)
+    r = lax.rsqrt(var + eps)
+    mul = r * scale.astype(x.dtype)  # f32 * compute-dtype -> f32 (nnx order)
+    y = (x - mu) * mul + bias.astype(x.dtype)
+    return y.astype(x.dtype), mu, var
+
+
+def _bn_train_fwd(x, scale, bias, eps):
+    out = bn_train(x, scale, bias, eps)
+    _, mu, var = out
+    return out, (x, scale, mu, var)
+
+
+def _bn_train_bwd(eps, res, g):
+    # y = (x - mu) r gamma + beta with mu, var batch statistics of x.
+    # With t0 = sum(gy), t1 = sum(gy x), s1 = t1 - mu t0, a = r gamma:
+    #   dgamma = s1 r,  dbeta = t0
+    #   dx = a gy + c2 x + c1   (per-channel affine; includes the mu/var
+    #   output cotangents gmu, gvar so stop_gradient at the call site is
+    #   optional rather than load-bearing)
+    x, scale, mu, var = res
+    gy, gmu, gvar = g
+    c = x.shape[-1]
+    n = x.size // c
+    r = lax.rsqrt(var + eps)
+    a = r * scale  # f32
+
+    gy2 = gy.reshape(-1, c).astype(jnp.float32)
+    x2 = x.reshape(-1, c).astype(jnp.float32)
+    t0 = gy2.sum(0)
+    t1 = (gy2 * x2).sum(0)
+    s1 = t1 - mu * t0
+
+    dscale = s1 * r
+    dbias = t0
+    rr = r * r
+    c2 = (-a * rr * s1 + 2.0 * gvar) / n
+    c1 = (-a * t0 + a * rr * mu * s1 + gmu - 2.0 * gvar * mu) / n
+    dx = (gy * a.astype(jnp.float32) + x * c2 + c1).astype(x.dtype)
+    return dx, dscale.astype(scale.dtype), dbias.astype(scale.dtype)
+
+
+bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
+
+
+class FastBatchNorm(nnx.Module):
+    """Drop-in replacement for the project's ``nnx.BatchNorm`` usage
+    (channels-last input, float32 params/stats) built on :func:`bn_train`.
+
+    Attribute names (``mean``/``var``/``scale``/``bias``) and semantics
+    match ``nnx.BatchNorm`` so checkpoints, torch-twin weight mapping and
+    ``model.train()``/``eval()`` toggling are unchanged.
+    """
+
+    def __init__(self, num_features, *, momentum=0.9, epsilon=1e-5, dtype=None, rngs=None):
+        del rngs  # parity with the nnx.BatchNorm constructor surface
+        self.mean = nnx.BatchStat(jnp.zeros((num_features,), jnp.float32))
+        self.var = nnx.BatchStat(jnp.ones((num_features,), jnp.float32))
+        self.scale = nnx.Param(jnp.ones((num_features,), jnp.float32))
+        self.bias = nnx.Param(jnp.zeros((num_features,), jnp.float32))
+        self.momentum = momentum
+        self.epsilon = epsilon
+        self.dtype = dtype
+        self.use_running_average = False
+
+    def __call__(self, x):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        scale, bias = self.scale[...], self.bias[...]
+        if self.use_running_average:
+            mul = lax.rsqrt(self.var[...] + self.epsilon) * scale.astype(x.dtype)
+            y = (x - self.mean[...]) * mul + bias.astype(x.dtype)
+            return y.astype(x.dtype)
+        y, mu, var = bn_train(x, scale, bias, self.epsilon)
+        m = self.momentum
+        self.mean[...] = lax.stop_gradient(m * self.mean[...] + (1 - m) * mu)
+        self.var[...] = lax.stop_gradient(m * self.var[...] + (1 - m) * var)
+        return y

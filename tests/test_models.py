@@ -221,3 +221,65 @@ def test_fused_head_gradient_matches_autodiff_reference():
         g2 = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))), argnums=(0, 1, 2))(y_cm, k, b)
         for got, want in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_fast_batchnorm_matches_nnx_batchnorm():
+    """ops/batchnorm.py FastBatchNorm (analytic-VJP BN) must match
+    nnx.BatchNorm: forward train/eval values, running stats, and
+    gradients (f32 exact; bf16 within bf16 quantization — nnx rounds its
+    scale grad through a bf16 cast, the analytic form accumulates f32)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from pssr2_tpu.ops.batchnorm import FastBatchNorm
+
+    rng = np.random.default_rng(0)
+    for dtype, ytol, gtol in ((None, 1e-6, 1e-5), (jnp.bfloat16, 2e-2, None)):
+        x = jnp.asarray(rng.random((4, 8, 8, 5), np.float32) * 3 - 1)
+        if dtype:
+            x = x.astype(dtype)
+        scale = jnp.asarray(rng.random(5, np.float32) + 0.5)
+        bias = jnp.asarray(rng.random(5, np.float32) - 0.5)
+
+        def make(cls):
+            m = (
+                FastBatchNorm(5, momentum=0.9, epsilon=1e-5, dtype=dtype)
+                if cls is FastBatchNorm
+                else nnx.BatchNorm(5, momentum=0.9, epsilon=1e-5, dtype=dtype, rngs=nnx.Rngs(0))
+            )
+            m.scale[...] = scale
+            m.bias[...] = bias
+            return m
+
+        ref, fast = make(nnx.BatchNorm), make(FastBatchNorm)
+        ref.train(), fast.train()
+        np.testing.assert_allclose(
+            np.asarray(fast(x), np.float32), np.asarray(ref(x), np.float32), atol=ytol, rtol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(fast.mean[...]), np.asarray(ref.mean[...]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(fast.var[...]), np.asarray(ref.var[...]), rtol=1e-5)
+
+        def loss(cls, scale, bias, x):
+            m = make(cls)
+            m.train()
+            m.scale[...] = scale
+            m.bias[...] = bias
+            return jnp.sum(jnp.sin(m(x).astype(jnp.float32)) * 1.7)
+
+        g_ref = jax.grad(lambda s, b, xx: loss(nnx.BatchNorm, s, b, xx), argnums=(0, 1, 2))(scale, bias, x)
+        g_fast = jax.grad(lambda s, b, xx: loss(FastBatchNorm, s, b, xx), argnums=(0, 1, 2))(scale, bias, x)
+        for got, want in zip(g_fast, g_ref):
+            if gtol is None:  # bf16: compare at bf16 resolution
+                np.testing.assert_allclose(
+                    np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=8e-3, atol=5e-2
+                )
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=1e-4, atol=gtol
+                )
+
+        ref.eval(), fast.eval()
+        np.testing.assert_allclose(
+            np.asarray(fast(x), np.float32), np.asarray(ref(x), np.float32), atol=ytol, rtol=1e-5
+        )
