@@ -30,9 +30,13 @@ from jax import lax
 
 
 def _stats(x):
-    xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
-    mu = xf.mean(0)
-    mu2 = (xf * xf).mean(0)
+    from .pallas.chanstats import dual_sums
+
+    x2 = x.reshape(-1, x.shape[-1])
+    n = x2.shape[0]
+    s = dual_sums(x2, x2)  # one pass: [sum(x), sum(x^2)]
+    mu = s[0] / n
+    mu2 = s[1] / n
     var = jnp.maximum(0.0, mu2 - mu * mu)
     return mu, var
 
@@ -71,10 +75,10 @@ def _bn_train_bwd(eps, res, g):
     r = lax.rsqrt(var + eps)
     a = r * scale  # f32
 
-    gy2 = gy.reshape(-1, c).astype(jnp.float32)
-    x2 = x.reshape(-1, c).astype(jnp.float32)
-    t0 = gy2.sum(0)
-    t1 = (gy2 * x2).sum(0)
+    from .pallas.chanstats import dual_sums
+
+    t = dual_sums(gy.reshape(-1, c), x.reshape(-1, c))  # one pass: [sum(gy), sum(gy x)]
+    t0, t1 = t[0], t[1]
     s1 = t1 - mu * t0
 
     dscale = s1 * r

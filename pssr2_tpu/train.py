@@ -363,6 +363,11 @@ def train_paired(
 
     optimizer = nnx.Optimizer(model, optim.tx, wrt=nnx.Param)
     if mesh is not None:
+        # Sharded batches need the XLA (psum-insertable) form of the BN
+        # channel reductions, not the single-chip Pallas kernel.
+        from .ops.pallas import chanstats
+
+        chanstats.AUTO_MODE = "jnp"
         if tp_rules is not None and dict(mesh.shape).get("model", 1) > 1:
             from .parallel.tp import shard_module
 

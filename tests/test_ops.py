@@ -154,3 +154,37 @@ def test_pixel_shuffle_scale4_matches_torch():
     x_last = np.transpose(x, (0, 2, 3, 1))
     got_last = np.asarray(pixel_shuffle(jnp.asarray(x_last), 4, channels_last=True))
     np.testing.assert_allclose(np.transpose(got_last, (0, 3, 1, 2)), want, atol=1e-6)
+
+
+def test_dual_sums_kernel_matches_jnp():
+    """ops/pallas/chanstats.dual_sums (fused per-channel [sum(x), sum(x*y)]
+    used by FastBatchNorm) — Pallas interpreter vs the jnp fallback."""
+    import jax.numpy as jnp
+
+    from pssr2_tpu.ops.pallas.chanstats import dual_sums
+
+    rng = np.random.default_rng(0)
+    for n, c, dt in [(4096, 64, jnp.bfloat16), (1024, 96, jnp.float32), (520, 5, jnp.float32)]:
+        x = jnp.asarray(rng.random((n, c), np.float32) - 0.3, dtype=dt)
+        y = jnp.asarray(rng.random((n, c), np.float32), dtype=dt)
+        want = np.asarray(dual_sums(x, y, force="jnp"))
+        got = np.asarray(dual_sums(x, y, force="interpret"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_dual_sums_auto_mode_respects_mesh_guard():
+    """train_paired(mesh=...) flips chanstats.AUTO_MODE to "jnp" so the BN
+    reductions stay SPMD-partitionable; off-TPU auto also resolves to jnp."""
+    import jax.numpy as jnp
+
+    from pssr2_tpu.ops.pallas import chanstats
+
+    x = jnp.ones((64, 8), jnp.float32)
+    old = chanstats.AUTO_MODE
+    try:
+        chanstats.AUTO_MODE = "jnp"
+        np.testing.assert_allclose(np.asarray(chanstats.dual_sums(x, x)[0]), 64.0)
+        chanstats.AUTO_MODE = "auto"  # CPU backend -> jnp fallback
+        np.testing.assert_allclose(np.asarray(chanstats.dual_sums(x, x)[1]), 64.0)
+    finally:
+        chanstats.AUTO_MODE = old
