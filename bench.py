@@ -146,19 +146,21 @@ def infer_main():
     batch_size = int(os.environ.get("BENCH_BATCH", 16))
     lr_res = 128
     name = os.environ.get("BENCH_MODEL", "resunet").lower()
+    use_bf16 = os.environ.get("BENCH_BF16", "1") != "0"
+    dtype = jnp.bfloat16 if use_bf16 else None
 
     if name == "rdresunet":
         from pssr2_tpu.models import RDResUNet
 
-        model = RDResUNet()
+        model = RDResUNet(dtype=dtype)
     elif name == "swinir":
         from pssr2_tpu.models import SwinIR
 
-        model = SwinIR(image_size=lr_res)
+        model = SwinIR(image_size=lr_res, dtype=dtype)
     else:
         from pssr2_tpu.models import ResUNet
 
-        model = ResUNet()
+        model = ResUNet(dtype=dtype)
     model.eval()
     graphdef, state = nnx.split(model)
     forward = jax.jit(lambda s, x: nnx.merge(graphdef, s)(x))
@@ -177,7 +179,7 @@ def infer_main():
     print(
         json.dumps(
             {
-                "metric": f"tiled inference, {type(model).__name__} x4 {lr_res}->{lr_res*4} (batch {batch_size})",
+                "metric": f"tiled inference, {type(model).__name__} x4 {lr_res}->{lr_res*4} (batch {batch_size}, {'bf16' if use_bf16 else 'f32'})",
                 "value": round(batched_tps, 2),
                 "unit": "tiles/sec/chip",
                 "vs_baseline": round(batched_tps / single_sps, 2),
