@@ -40,6 +40,7 @@ def parse():
 
     parser.add_argument("-dtype", "--dtype", type=str, default=None, choices=[None, "float32", "bfloat16"], help="model compute dtype")
     parser.add_argument("-nd", "--n-devices", type=int, default=None, help="number of devices for the data mesh (default: all)")
+    parser.add_argument("-spd", "--steps-per-dispatch", type=int, default=1, help="train steps fused per dispatch (nnx.scan trainer)")
 
     return parser
 
@@ -99,6 +100,7 @@ def main():
         args.model_path,
         mix=args.mix,
         n_devices=args.n_devices,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     print("\n")
 
@@ -121,6 +123,7 @@ def pssr_head(
     metrics=None,
     mix=None,
     n_devices=None,
+    steps_per_dispatch=1,
 ):
     """Shared train/predict orchestrator, also used by the napari plugin
     (reference: pssr/__main__.py:69-115)."""
@@ -168,14 +171,14 @@ def pssr_head(
     if train:
         func = lambda: _train_meta(
             model, dataset, device, epochs, batch_size, lr, gamma, loss_fn, checkpoint, losses,
-            callbacks, stage, mix=mix, mesh=mesh,
+            callbacks, stage, mix=mix, mesh=mesh, steps_per_dispatch=steps_per_dispatch,
         )
     else:
         func = lambda: _predict_meta(model, dataset, device, callbacks, stage, metrics)
     func()
 
 
-def _train_meta(model, dataset, device, epochs, batch_size, lr, gamma, loss_fn, checkpoint, losses, callbacks=None, stage=None, mix=None, mesh=None):
+def _train_meta(model, dataset, device, epochs, batch_size, lr, gamma, loss_fn, checkpoint, losses, callbacks=None, stage=None, mix=None, mesh=None, steps_per_dispatch=1):
     """(reference: pssr/__main__.py:117-162)"""
     from .checkpoint import save_weights
     from .optim import AdamW, ExponentialLR
@@ -219,6 +222,7 @@ def _train_meta(model, dataset, device, epochs, batch_size, lr, gamma, loss_fn, 
         dataloader_kwargs=dict(num_workers=4),
         callbacks=callbacks,
         mesh=mesh,
+        steps_per_dispatch=steps_per_dispatch,
     )
     print("\nTraining complete!")
 
