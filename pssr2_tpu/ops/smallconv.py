@@ -43,6 +43,7 @@ from jax import lax
 # step vs sparse+barrier 52.8, sparse-plain 54.5, dense-plain 60.9).
 Z_MODE = "dense"
 Z_BARRIER = True
+Z_BARRIER_POS = "pre"  # "pre" = before the 7-D reshape, "post" = after
 
 
 def phase_major_perm(channels: int, scale: int) -> np.ndarray:
@@ -160,9 +161,11 @@ def shuffle_conv_small(y_pm, kernel, bias=None, *, scale: int):
         z = lax.dot_general(y_pm, w_dense, (((4 - 1,), (0,)), ((), ())))
     else:
         z = lax.dot_general(y_pm.reshape(B, H, W, s * s, C), wt, (((4,), (0,)), ((), ())))
-    if Z_BARRIER:
+    if Z_BARRIER and Z_BARRIER_POS == "pre":
         z = lax.optimization_barrier(z)
     z = z.reshape(B, H, W, s, s, 9, Cout)
+    if Z_BARRIER and Z_BARRIER_POS == "post":
+        z = lax.optimization_barrier(z)
 
     out = _phase_resolve(z, s)  # f32 (B,H,W,s,s,Cout)
     if bias is not None:
@@ -183,14 +186,16 @@ def fused_upsample_tail(x, pre_conv, post_conv, scale: int, activation=None):
     never materialized.  ``x`` must already be in the compute dtype.
     """
     kernel = pre_conv.kernel[...]
-    bias = pre_conv.bias[...]
     channels = kernel.shape[-1] // (scale * scale)
     perm = phase_major_perm(channels, scale)
     dt = x.dtype
     y = lax.conv_general_dilated(
         x, kernel[..., perm].astype(dt), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + bias[perm].astype(dt)
+    )
+    if pre_conv.bias is not None:
+        y = y + pre_conv.bias[...][perm].astype(dt)
     if activation is not None:
         y = activation(y)
-    return shuffle_conv_small(y, post_conv.kernel[...], post_conv.bias[...], scale=scale)
+    post_bias = post_conv.bias[...] if post_conv.bias is not None else None
+    return shuffle_conv_small(y, post_conv.kernel[...], post_bias, scale=scale)
