@@ -34,6 +34,9 @@ MODULES = [
     ("pssr2_tpu.ops.degrade", "Device degradation ops"),
     ("pssr2_tpu.ops.stitch", "Stitching ops"),
     ("pssr2_tpu.ops.smallconv", "Fused upsample tail"),
+    ("pssr2_tpu.ops.batchnorm", "Fast BatchNorm"),
+    ("pssr2_tpu.ops.pallas.chanstats", "Pallas channel stats"),
+    ("pssr2_tpu.ops.pallas.gradhist", "Pallas GradHist"),
     ("pssr2_tpu.parallel.mesh", "Mesh helpers"),
     ("pssr2_tpu.parallel.tp", "Tensor parallelism"),
     ("pssr2_tpu.parallel.spatial", "Spatial (halo) parallelism"),
