@@ -28,7 +28,11 @@ AUTO_MODE = "auto"
 
 
 def _chunk_rows(n_rows: int, c: int, itemsize: int) -> int:
-    chunk = _VMEM_ROW_BUDGET // max(1, c * itemsize)
+    # VMEM blocks pad the minor dim to the 128-lane tile: a (chunk, 1)
+    # block physically occupies chunk x 128 elements, so budget by the
+    # PADDED width (this OOM'd scoped vmem on the C=1 input-stage BN).
+    width = ((c + _LANES - 1) // _LANES) * _LANES
+    chunk = _VMEM_ROW_BUDGET // max(1, width * itemsize)
     chunk = max(8, (chunk // 8) * 8)
     while chunk > 8 and n_rows % chunk:
         chunk //= 2
@@ -62,8 +66,10 @@ def dual_sums(x, y, force: str = None):
     n, c = x.shape
     mode = force if force is not None else AUTO_MODE
     if mode == "auto":
+        # c >= 64: narrower channel counts waste >=half the VPU lanes in
+        # VMEM (C=1 runs at 1/128) — the jnp reduction handles those.
         tpu = jax.default_backend() == "tpu"
-        mode = "pallas" if (tpu and n % 8 == 0 and n >= 64) else "jnp"
+        mode = "pallas" if (tpu and n % 8 == 0 and n >= 64 and c >= 64) else "jnp"
     if mode == "jnp":
         return _dual_sums_jnp(x, y)
 
