@@ -34,11 +34,46 @@ def resolve_dtype(dtype):
     return dtype
 
 
+class SGBiasConv(nnx.Conv):
+    """nnx.Conv that can add its bias under ``stop_gradient``.
+
+    A conv whose output feeds a TRAIN-mode BatchNorm has an exactly-zero
+    bias gradient (the BN backward annihilates constant per-channel
+    shifts: sum_n dx_n = gmu = 0 with stop-gradient running stats — see
+    ops/batchnorm.py).  Autodiff still spends a full-tensor channel
+    reduction per conv computing that zero as fp noise (~2.6 ms/step on
+    the canonical config, experiments/mxu_probe17); ``sg_bias=True`` cuts
+    the path.  Callers pass it per call so eval-mode BN (where the bias
+    gradient is NOT zero) keeps the standard path.  Torch-twin note: torch
+    autograd computes the same mathematically-zero gradient as ~1e-7
+    noise, which Adam then random-walks; zeroing it exactly is the only
+    semantic difference.
+    """
+
+    def __call__(self, x, sg_bias: bool = False):
+        if not sg_bias or self.bias is None:
+            return super().__call__(x)
+        from jax import lax
+
+        dt = x.dtype if self.dtype is None else self.dtype
+        dil = self.kernel_dilation
+        dil = (dil, dil) if isinstance(dil, int) else tuple(dil)
+        y = lax.conv_general_dilated(
+            x.astype(dt),
+            self.kernel[...].astype(dt),
+            window_strides=(1, 1),
+            padding=self.padding,
+            rhs_dilation=dil,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + lax.stop_gradient(self.bias[...].astype(dt))
+
+
 def conv(in_features, out_features, kernel_size, *, rngs, dilation=1, padding="SAME", dtype=None):
     """3x3/1x1 conv with torch-default init (NHWC)."""
     ks = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
     fan_in = in_features * ks[0] * ks[1]
-    return nnx.Conv(
+    return SGBiasConv(
         in_features,
         out_features,
         kernel_size=ks,
@@ -117,9 +152,12 @@ class ResBlock(nnx.Module):
     def __call__(self, x):
         h = x
         for layer_idx in range(self.n_layers):
-            h = self.convs[layer_idx](h)
-            if self.norms[layer_idx] is not None:
-                h = self.norms[layer_idx](h)
+            norm = self.norms[layer_idx]
+            # bias grad through a train-mode BN is exactly zero; skip it
+            sg = norm is not None and not norm.use_running_average
+            h = self.convs[layer_idx](h, sg_bias=sg)
+            if norm is not None:
+                h = norm(h)
             if layer_idx + 1 < self.n_layers:
                 h = nnx.relu(h)
         return nnx.relu(h + self.respass(x))
@@ -191,9 +229,11 @@ class PSPPooling(nnx.Module):
             else:
                 pooled = chunk
             cv, bn = self.convs[idx]
-            outs.append(nnx.relu(bn(cv(pooled))))
+            outs.append(nnx.relu(bn(cv(pooled, sg_bias=not bn.use_running_average))))
         x = jnp.concatenate(outs, axis=-1)
-        return nnx.relu(self.norm_out(self.conv_out(x)))
+        return nnx.relu(
+            self.norm_out(self.conv_out(x, sg_bias=not self.norm_out.use_running_average))
+        )
 
 
 def get_resblock(in_channels, out_channels, dilations, depth, norm=True, *, rngs, dtype=None):

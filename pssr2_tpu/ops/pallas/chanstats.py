@@ -20,11 +20,14 @@ from jax.experimental import pallas as pl
 _LANES = 128
 _VMEM_ROW_BUDGET = 1 << 21  # bytes per operand block
 
-# Global default when ``force`` is None.  "auto" picks Pallas on TPU.
-# Mesh training sets "jnp": a pallas_call is not SPMD-partitionable, so
-# over a sharded batch the jnp reduction (XLA inserts the psum) is the
-# correct cross-replica form (SURVEY.md hard-parts: BatchNorm in pjit).
-AUTO_MODE = "auto"
+# Global default when ``force`` is None.  "jnp" everywhere: inside the
+# real train step the pallas_call's operand layout constraints force
+# relayout copies of every activation and cost +6.5 ms/step (measured,
+# experiments/mxu_probe16 vs 15) — another standalone-vs-composed reversal
+# (see CLAUDE.md).  The kernel is kept for standalone/streaming use
+# (force="pallas").  Mesh training must stay "jnp" regardless: a
+# pallas_call is not SPMD-partitionable (SURVEY.md hard-parts: BN in pjit).
+AUTO_MODE = "jnp"
 
 
 def _chunk_rows(n_rows: int, c: int, itemsize: int) -> int:

@@ -283,3 +283,43 @@ def test_fast_batchnorm_matches_nnx_batchnorm():
         np.testing.assert_allclose(
             np.asarray(fast(x), np.float32), np.asarray(ref(x), np.float32), atol=ytol, rtol=1e-5
         )
+
+
+def test_sgbias_conv_semantics():
+    """SGBiasConv: identical forward (bitwise) with/without sg_bias; bias
+    gradient exactly zero only when the conv feeds a TRAIN-mode BN (the BN
+    backward annihilates constant shifts — ops/batchnorm.py derivation);
+    eval-mode and non-BN (respass) biases keep real gradients."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from pssr2_tpu.models.blocks import ResBlock, conv
+
+    rng = np.random.default_rng(0)
+    for ks, dil in [(3, 1), (1, 1), (3, 2)]:
+        c = conv(5, 7, ks, rngs=nnx.Rngs(0), dilation=dil)
+        x = jnp.asarray(rng.random((2, 16, 16, 5), np.float32))
+        np.testing.assert_array_equal(np.asarray(c(x, sg_bias=True)), np.asarray(c(x)))
+
+    blk = ResBlock(4, 8, depth=1, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.random((2, 8, 8, 4), np.float32))
+
+    def blk_loss(model, x):
+        return jnp.sum(model(x) ** 2)
+
+    def bias_grads(grads):
+        out = {}
+        for p, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+            s = jax.tree_util.keystr(p)
+            if "'bias'" in s and hasattr(leaf, "shape"):
+                out[s] = float(jnp.abs(leaf).max())
+        return out
+
+    blk.train()
+    g = bias_grads(nnx.grad(blk_loss)(blk, x))
+    assert all(v == 0.0 for k, v in g.items() if "'convs'" in k)
+    assert all(v > 0.0 for k, v in g.items() if "'respass'" in k)
+    blk.eval()
+    ge = bias_grads(nnx.grad(blk_loss)(blk, x))
+    assert any(v > 0.0 for k, v in ge.items() if "'convs'" in k)
