@@ -243,3 +243,30 @@ def test_train_paired_steps_per_dispatch_parity(tmp_path):
     assert len(t1) == len(t3) and len(v1) == len(v3)
     np.testing.assert_allclose(t3, t1, rtol=1e-4)
     np.testing.assert_allclose(v3, v1, rtol=1e-4)
+
+
+def test_train_paired_steps_per_dispatch_mesh(tmp_path):
+    """steps_per_dispatch over a data mesh: stacked (K, B, ...) batches are
+    resharded P(None, 'data') and the scan trainer runs sharded."""
+    from pssr2_tpu.parallel import data_mesh
+
+    mesh = data_mesh()
+    dataset = _dataset(tmp_path, n=16)
+    model = ResUNet(**SMALL)
+    train_losses, val_losses = train_paired(
+        model, dataset, batch_size=8, loss_fn=MSELoss(), optim=AdamW(1e-3),
+        epochs=1, log_frequency=4, mesh=mesh, steps_per_dispatch=2,
+    )
+    assert all(np.isfinite(v) for v in train_losses + val_losses)
+
+
+def test_train_paired_steps_per_dispatch_host_pairs(tmp_path):
+    """steps_per_dispatch on the host (hr, lr) pair loader: tuple batches
+    are stacked per component before the scan."""
+    dataset = _dataset(tmp_path, n=8, transforms=[lambda x: x])  # forces host path
+    model = ResUNet(**SMALL)
+    train_losses, val_losses = train_paired(
+        model, dataset, batch_size=2, loss_fn=MSELoss(), optim=AdamW(1e-3),
+        epochs=1, log_frequency=2, steps_per_dispatch=2,
+    )
+    assert all(np.isfinite(v) for v in train_losses + val_losses)
