@@ -27,7 +27,14 @@ def save_weights(model: nnx.Module, path):
 
 
 def load_weights(model: nnx.Module, path):
-    """Load a weights-only .npz produced by :func:`save_weights` into model."""
+    """Load weights into ``model``: a ``.npz`` from :func:`save_weights`,
+    or a reference torch ``.pth`` state_dict (dispatched by extension;
+    see :mod:`pssr2_tpu.torch_import`)."""
+    if str(path).endswith((".pth", ".pt")):
+        from .torch_import import load_torch_weights
+
+        load_torch_weights(model, path)
+        return model
     loaded = np.load(path)
     state = nnx.state(model)
     pure = nnx.to_pure_dict(state)
