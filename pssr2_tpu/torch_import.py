@@ -89,16 +89,89 @@ def _psp_entries(tkey, psp, path):
     return out
 
 
+def _ln_entries(tkey, path):
+    return {
+        f"{tkey}.weight": (path + ("scale",), "vec"),
+        f"{tkey}.bias": (path + ("bias",), "vec"),
+    }
+
+
+def _linear_entries(tkey, path, has_bias=True):
+    out = {f"{tkey}.weight": (path + ("kernel",), "linear")}
+    if has_bias:
+        out[f"{tkey}.bias"] = (path + ("bias",), "vec")
+    return out
+
+
+def _swinir_map(model):
+    """Reference swinir.py state_dict names -> our (aligned) module paths.
+    Buffers (relative_position_index, attn_mask) are recomputed here and
+    skipped by the loader."""
+    out = {}
+    out.update(_conv_entries("conv_first", ("conv_first",)))
+    if model.patch_embed.norm is not None:
+        out.update(_ln_entries("patch_embed.norm", ("patch_embed", "norm")))
+    if model.absolute_pos_embed is not None:
+        out["absolute_pos_embed"] = (("absolute_pos_embed",), "vec")
+    for i, layer in enumerate(model.layers):
+        base = f"layers.{i}"
+        for j, blk in enumerate(layer.residual_group.blocks):
+            b = f"{base}.residual_group.blocks.{j}"
+            p = ("layers", i, "residual_group", "blocks", j)
+            out.update(_ln_entries(f"{b}.norm1", p + ("norm1",)))
+            out.update(_ln_entries(f"{b}.norm2", p + ("norm2",)))
+            out.update(
+                _linear_entries(f"{b}.attn.qkv", p + ("attn", "qkv"), has_bias=blk.attn.qkv.bias is not None)
+            )
+            out.update(_linear_entries(f"{b}.attn.proj", p + ("attn", "proj")))
+            out[f"{b}.attn.relative_position_bias_table"] = (
+                p + ("attn", "relative_position_bias_table"),
+                "vec",
+            )
+            out.update(_linear_entries(f"{b}.mlp.fc1", p + ("mlp", "fc1")))
+            out.update(_linear_entries(f"{b}.mlp.fc2", p + ("mlp", "fc2")))
+        if len(layer.convs) == 1:  # '1conv'
+            out.update(_conv_entries(f"{base}.conv", ("layers", i, "convs", 0)))
+        else:  # '3conv': Sequential [Conv, LReLU, Conv, LReLU, Conv]
+            for k in range(3):
+                out.update(_conv_entries(f"{base}.conv.{2 * k}", ("layers", i, "convs", k)))
+    out.update(_ln_entries("norm", ("norm",)))
+    if len(model.conv_after_body) == 1:
+        out.update(_conv_entries("conv_after_body", ("conv_after_body", 0)))
+    else:
+        for k in range(3):
+            out.update(_conv_entries(f"conv_after_body.{2 * k}", ("conv_after_body", k)))
+    if model.upsampler == "pixelshuffle":
+        out.update(_conv_entries("conv_before_upsample.0", ("conv_before_upsample",)))
+        for s in range(len(model.upsample)):
+            out.update(_conv_entries(f"upsample.{2 * s}", ("upsample", s)))
+        out.update(_conv_entries("conv_last", ("conv_last",)))
+    elif model.upsampler == "pixelshuffledirect":
+        out.update(_conv_entries("upsample.0", ("upsample_direct",)))
+    elif model.upsampler == "nearest+conv":
+        out.update(_conv_entries("conv_before_upsample.0", ("conv_before_upsample",)))
+        out.update(_conv_entries("conv_up1", ("conv_up1",)))
+        if model.conv_up2 is not None:
+            out.update(_conv_entries("conv_up2", ("conv_up2",)))
+        out.update(_conv_entries("conv_hr", ("conv_hr",)))
+        out.update(_conv_entries("conv_last", ("conv_last",)))
+    else:
+        out.update(_conv_entries("conv_last", ("conv_last",)))
+    return out
+
+
 def torch_key_map(model):
     """dict: reference state_dict key -> (nnx state path, transform)."""
-    from .models import ResUNet, ResUNetA  # noqa: F401  (ResUNetA returns ResUNet)
     from .models.resunet import ResUNet as _ResUNet
+    from .models.swinir import SwinIR as _SwinIR
 
+    if isinstance(model, _SwinIR):
+        return _swinir_map(model)
     if not isinstance(model, _ResUNet):
         raise NotImplementedError(
-            f".pth import currently supports the ResUNet/ResUNetA family; got "
-            f"{type(model).__name__}.  Train-side parity for other families is "
-            f"available through the npz checkpoints."
+            f".pth import currently supports the ResUNet/ResUNetA family and "
+            f"SwinIR; got {type(model).__name__}.  Train-side parity for other "
+            f"families is available through the npz checkpoints."
         )
     out = {}
     if model.norm is not None:
@@ -132,8 +205,8 @@ def load_torch_state_dict(model, state_dict, strict: bool = True):
 
     loaded, skipped = [], []
     for tkey, value in state_dict.items():
-        if tkey.endswith("num_batches_tracked"):
-            skipped.append(tkey)
+        if tkey.endswith(("num_batches_tracked", "relative_position_index", "attn_mask")):
+            skipped.append(tkey)  # recomputed buffers / torch bookkeeping
             continue
         if tkey not in mapping:
             if strict:

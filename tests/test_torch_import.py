@@ -97,7 +97,53 @@ def test_pth_import_error_paths():
     with pytest.raises(ValueError):
         load_torch_state_dict(m, wrong)
 
-    from pssr2_tpu.models import SwinIR
+    from pssr2_tpu.models import RDResUNet
 
     with pytest.raises(NotImplementedError):
-        torch_key_map(SwinIR(image_size=16, embed_dim=8, depths=[1], num_heads=[2], window_size=4))
+        torch_key_map(
+            RDResUNet(
+                hidden=[64, 64, 32], rdnet_init=32, growth_rates=[16, 16, 16],
+                ds_blocks=[False, True, True], ese_blocks=[False, True, True],
+                n_blocks=[2, 2, 2],
+            )
+        )
+
+
+def test_pth_swinir_mapping_bijective():
+    """SwinIR .pth mapping covers reference swinir.py names (norm1/attn/
+    mlp linears with (O,I)->(I,O) transposes, RSTB conv Sequential
+    indices, Upsample conv positions 2s) and round-trips export->import."""
+    from pssr2_tpu.models import SwinIR
+
+    m = SwinIR(image_size=16, window_size=4, embed_dim=16, depths=[1, 1], num_heads=[2, 2], scale=4)
+    keys = torch_key_map(m)
+    for expected in (
+        "conv_first.weight",
+        "patch_embed.norm.weight",
+        "layers.0.residual_group.blocks.0.attn.qkv.weight",
+        "layers.0.residual_group.blocks.0.attn.relative_position_bias_table",
+        "layers.1.conv.weight",
+        "norm.weight",
+        "conv_before_upsample.0.weight",
+        "upsample.0.weight",
+        "upsample.2.weight",  # scale 4 -> two shuffle stages at Sequential 0, 2
+        "conv_last.weight",
+    ):
+        assert expected in keys, expected
+    sd = export_torch_state_dict(m)
+    assert set(sd) == set(keys)
+    # qkv transpose: torch (3C, C) vs our kernel (C, 3C)
+    assert sd["layers.0.residual_group.blocks.0.attn.qkv.weight"].shape == (48, 16)
+
+    m2 = SwinIR(image_size=16, window_size=4, embed_dim=16, depths=[1, 1], num_heads=[2, 2], scale=4, rngs=None)
+    m2.conv_last.bias[...] = m2.conv_last.bias[...] + 1.0
+    sd["layers.0.residual_group.blocks.0.attn_mask"] = np.zeros(1)  # buffer -> skipped
+    loaded, skipped = load_torch_state_dict(m2, sd)
+    assert "layers.0.residual_group.blocks.0.attn_mask" in skipped
+    np.testing.assert_array_equal(
+        np.asarray(m2.conv_last.bias[...]), np.asarray(m.conv_last.bias[...])
+    )
+    # forward equality after import
+    m.eval(), m2.eval()
+    x = np.random.default_rng(0).random((1, 1, 16, 16), np.float32) * 255
+    np.testing.assert_allclose(np.asarray(m2(x)), np.asarray(m(x)), atol=1e-5)
