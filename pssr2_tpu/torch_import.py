@@ -160,18 +160,74 @@ def _swinir_map(model):
     return out
 
 
+def _ln2d_entries(tkey, path):
+    # timm LayerNorm2d (weight/bias) -> our LayerNorm2d wrapping nnx.LayerNorm
+    return {
+        f"{tkey}.weight": (path + ("norm", "scale"), "vec"),
+        f"{tkey}.bias": (path + ("norm", "bias"), "vec"),
+    }
+
+
+def _rdnet_entries(tkey, net, path):
+    """Reference _rdnet.py Sequential layouts -> our explicit lists:
+    stem.stem.{0,1}; dense_stages.{i} = [LN2d, Conv,] DenseStage with
+    dense_block{k}.layers.layers.{0 dw, 1 norm, 2 fc1, 4 fc2, 5 ese}."""
+    out = {}
+    out.update(_conv_entries(f"{tkey}.stem.stem.0", path + ("stem", "conv")))
+    out.update(_ln2d_entries(f"{tkey}.stem.stem.1", path + ("stem", "norm")))
+    for i, (trans, stage) in enumerate(zip(net.transitions, net.stages)):
+        if trans is None:
+            stage_pos = 0
+        else:
+            out.update(_ln2d_entries(f"{tkey}.dense_stages.{i}.0", path + ("transitions", i, 0)))
+            out.update(_conv_entries(f"{tkey}.dense_stages.{i}.1", path + ("transitions", i, 1)))
+            stage_pos = 2
+        for k, blk in enumerate(stage.blocks):
+            b = f"{tkey}.dense_stages.{i}.{stage_pos}.dense_block{k}"
+            p = path + ("stages", i, "blocks", k)
+            if blk.gamma is not None:
+                out[f"{b}.gamma"] = (p + ("gamma",), "vec")
+            lb = f"{b}.layers.layers"
+            lp = p + ("layers",)
+            out.update(_conv_entries(f"{lb}.0", lp + ("dw",)))
+            out.update(_ln2d_entries(f"{lb}.1", lp + ("norm",)))
+            out.update(_conv_entries(f"{lb}.2", lp + ("fc1",)))
+            out.update(_conv_entries(f"{lb}.4", lp + ("fc2",)))
+            if blk.layers.ese is not None:
+                out.update(_conv_entries(f"{lb}.5.fc", lp + ("ese", "fc")))
+    return out
+
+
 def torch_key_map(model):
     """dict: reference state_dict key -> (nnx state path, transform)."""
+    from .models.rdresunet import RDResUNet as _RDResUNet
     from .models.resunet import ResUNet as _ResUNet
     from .models.swinir import SwinIR as _SwinIR
 
     if isinstance(model, _SwinIR):
         return _swinir_map(model)
+    if isinstance(model, _RDResUNet):
+        out = {}
+        if model.norm is not None:
+            out.update(_bn_entries("norm", ("norm",)))
+        out.update(_rdnet_entries("encoder", model.encoder, ("encoder",)))
+        for i, block in enumerate(model.decoder):
+            out.update(_resblock_entries(f"decoder.{i}", block, ("decoder", i)))
+        if model.encoder_pool is not None:
+            out.update(_psp_entries("encoder_pool", model.encoder_pool, ("encoder_pool",)))
+        if model.reconstruction_pool is not None:
+            out.update(
+                _psp_entries(
+                    "reconstruction_pool", model.reconstruction_pool, ("reconstruction_pool",)
+                )
+            )
+        out.update(_conv_entries("reconstruction.pre", ("reconstruction", "pre")))
+        out.update(_conv_entries("reconstruction.conv", ("reconstruction", "conv")))
+        return out
     if not isinstance(model, _ResUNet):
         raise NotImplementedError(
-            f".pth import currently supports the ResUNet/ResUNetA family and "
-            f"SwinIR; got {type(model).__name__}.  Train-side parity for other "
-            f"families is available through the npz checkpoints."
+            f".pth import supports ResUNet/ResUNetA, RDResUNet/RDResUNetA and "
+            f"SwinIR; got {type(model).__name__}."
         )
     out = {}
     if model.norm is not None:

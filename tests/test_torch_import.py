@@ -97,16 +97,10 @@ def test_pth_import_error_paths():
     with pytest.raises(ValueError):
         load_torch_state_dict(m, wrong)
 
-    from pssr2_tpu.models import RDResUNet
+    from pssr2_tpu.crappifiers import Poisson
 
     with pytest.raises(NotImplementedError):
-        torch_key_map(
-            RDResUNet(
-                hidden=[64, 64, 32], rdnet_init=32, growth_rates=[16, 16, 16],
-                ds_blocks=[False, True, True], ese_blocks=[False, True, True],
-                n_blocks=[2, 2, 2],
-            )
-        )
+        torch_key_map(Poisson())  # not a supported model type
 
 
 def test_pth_swinir_mapping_bijective():
@@ -146,4 +140,38 @@ def test_pth_swinir_mapping_bijective():
     # forward equality after import
     m.eval(), m2.eval()
     x = np.random.default_rng(0).random((1, 1, 16, 16), np.float32) * 255
+    np.testing.assert_allclose(np.asarray(m2(x)), np.asarray(m(x)), atol=1e-5)
+
+
+def test_pth_rdresunet_mapping_roundtrip():
+    """RDResUNet .pth mapping covers the reference _rdnet.py Sequential
+    layouts (stem.stem.{0,1}, dense_stages transitions at {0,1},
+    dense_block{k}.layers.layers.{0,1,2,4,5}) and round-trips."""
+    from pssr2_tpu.models import RDResUNet
+
+    kwargs = dict(
+        hidden=[64, 64, 32], rdnet_init=32, growth_rates=[16, 16, 16],
+        ds_blocks=[False, True, True], ese_blocks=[False, True, True], n_blocks=[2, 2, 2],
+    )
+    m = RDResUNet(**kwargs)
+    keys = torch_key_map(m)
+    for k in (
+        "encoder.stem.stem.0.weight",
+        "encoder.stem.stem.1.weight",
+        "encoder.dense_stages.0.0.dense_block0.gamma",
+        "encoder.dense_stages.1.0.weight",  # transition LN2d
+        "encoder.dense_stages.1.1.weight",  # transition conv
+        "encoder.dense_stages.1.2.dense_block1.layers.layers.5.fc.weight",  # ESE
+        "decoder.0.conv.0.weight",
+        "reconstruction.pre.weight",
+    ):
+        assert k in keys, k
+    sd = export_torch_state_dict(m)
+    assert set(sd) == set(keys)
+
+    m2 = RDResUNet(**kwargs, rngs=None)
+    m2.reconstruction.conv.bias[...] = m2.reconstruction.conv.bias[...] + 1.0
+    load_torch_state_dict(m2, sd)
+    m.eval(), m2.eval()
+    x = np.random.default_rng(0).random((1, 1, 32, 32), np.float32) * 255
     np.testing.assert_allclose(np.asarray(m2(x)), np.asarray(m(x)), atol=1e-5)
