@@ -85,8 +85,8 @@ def main():
         return jnp.sum(sums)[None] + jnp.sum(h.astype(jnp.float32))
 
     # numeric sanity on-device
-    r1 = float(jax.jit(chain_ref)(x))
-    r2 = float(jax.jit(chain_pallas)(x))
+    r1 = float(jax.jit(chain_ref)(x)[0])
+    r2 = float(jax.jit(chain_pallas)(x)[0])
     print(f"chain ref={r1:.1f} pallas={r2:.1f} rel={abs(r1 - r2) / abs(r1):.2e}", flush=True)
 
     record("3-layer chain, XLA", op_time(chain_ref, x))

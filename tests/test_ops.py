@@ -188,3 +188,38 @@ def test_dual_sums_auto_mode_respects_mesh_guard():
         np.testing.assert_allclose(np.asarray(chanstats.dual_sums(x, x)[1]), 64.0)
     finally:
         chanstats.AUTO_MODE = old
+
+
+def test_pallas_fused_layer_interpret_parity():
+    """ops/pallas/fusedlayer.py (the measured-negative Pallas conv+BN
+    prototype, kept as a kernel template) must stay numerically correct:
+    interpreter mode vs the XLA reference, incl halo edges and the
+    tiny-input fallback."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import pssr2_tpu.ops.pallas.fusedlayer as fl
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    pl.pallas_call = interp_call
+    try:
+        rng = np.random.default_rng(0)
+        for bshape, relu in [((2, 16, 16, 8), True), ((1, 32, 16, 4), False), ((1, 8, 8, 4), True)]:
+            B, H, W, C = bshape
+            x = jnp.asarray(rng.random(bshape, np.float32) - 0.3, dtype=jnp.bfloat16)
+            w = jnp.asarray(rng.random((3, 3, C, C), np.float32) - 0.5)
+            a = jnp.asarray(rng.random(C, np.float32) + 0.5)
+            b = jnp.asarray(rng.random(C, np.float32) - 0.5)
+            y1, s1 = fl.fused_layer(x, w, a, b, relu_in=relu)
+            y2, s2 = fl.fused_layer_reference(x, w, a, b, relu_in=relu)
+            np.testing.assert_allclose(
+                np.asarray(y1, np.float32), np.asarray(y2, np.float32), rtol=3e-2, atol=3e-2
+            )
+            np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=3e-2, atol=2.0)
+    finally:
+        pl.pallas_call = orig
