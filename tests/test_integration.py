@@ -240,3 +240,31 @@ def test_spatial_2d_halo():
     sharded = predict_sheet_2d(model, sheet, mesh, axes=("data", "model"))
     m = 16 * 4
     np.testing.assert_allclose(sharded[:, m:-m, m:-m], full[:, m:-m, m:-m], atol=2e-2)
+
+
+def test_cli_predict_from_pth(tmp_path, monkeypatch):
+    """CLI -mp model.pth loads a reference torch checkpoint (dispatch by
+    extension in checkpoint.load_weights -> torch_import)."""
+    make_tifs(tmp_path / "images", get_shape(HR, batch=3))
+    monkeypatch.chdir(tmp_path)
+
+    from pssr2_tpu.models import ResUNet
+    from pssr2_tpu.torch_import import save_torch_weights
+
+    save_torch_weights(ResUNet(hidden=[8, 16], depth=1), str(tmp_path / "model.pth"))
+
+    from pssr2_tpu.__main__ import main
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "pssr2-tpu",
+            "-dp", str(tmp_path / "images"),
+            "-dt", f"ImageDataset(hr_res={HR})",
+            "-mt", "ResUNet(hidden=[8, 16], depth=1)",
+            "-mp", str(tmp_path / "model.pth"),
+        ],
+    )
+    main()
+    assert list((tmp_path / "preds").glob("*.tif"))
