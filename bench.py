@@ -8,7 +8,7 @@ batch 16, AdamW 1e-3, SSIMLoss(mix=0.8, MS).
 Primary metric: absolute train-step throughput (crappified patches/sec/chip,
 median of trials) plus MFU computed from the analytic model FLOP count —
 both device-bound and stable run to run.  By default the timed path is the
-shipped nnx.scan trainer (``train_paired(steps_per_dispatch=4)``,
+shipped nnx.scan trainer (``train_paired(steps_per_dispatch=8)``,
 BENCH_SPD to change / 1 for per-step dispatch): the production hot path,
 which also amortizes this host's ~4 ms/dispatch tunnel overhead that real
 TPU hosts do not pay (experiments/mxu_probe11).
@@ -217,7 +217,7 @@ def main():
     # (train_paired(steps_per_dispatch=K)): K steps per dispatch, which is
     # the production hot path and amortizes the ~4 ms/dispatch tunnel cost
     # this bench host pays (real TPU hosts pay far less).
-    spd = int(os.environ.get("BENCH_SPD", 4))
+    spd = int(os.environ.get("BENCH_SPD", 8))
     if spd > 1:
         from flax import nnx
 
