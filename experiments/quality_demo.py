@@ -26,25 +26,29 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 def make_phantoms(out_dir, n=120, res=512, seed=0):
     from pssr2_tpu.data import tiff
 
+    # Fine structure only (small blobs + many 1 px filaments, no HR
+    # noise): super-resolution must recover sub-LR-pixel detail, so a
+    # trained model can beat interpolation; fat smooth blobs or noisy HR
+    # make bilinear unbeatable and the comparison meaningless.
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     yy, xx = np.mgrid[0:res, 0:res].astype(np.float32)
     for i in range(n):
         img = np.zeros((res, res), np.float32)
-        for _ in range(rng.integers(12, 25)):  # blobs
+        for _ in range(rng.integers(25, 45)):  # small puncta
             cx, cy = rng.uniform(0, res, 2)
-            s = rng.uniform(2, 12)
-            amp = rng.uniform(60, 200)
+            s = rng.uniform(1.0, 3.5)
+            amp = rng.uniform(80, 220)
             img += amp * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s)))
-        for _ in range(rng.integers(4, 10)):  # 1px filaments
+        for _ in range(rng.integers(12, 24)):  # 1px filaments (curved)
             x0, y0 = rng.uniform(0, res, 2)
             ang = rng.uniform(0, np.pi)
-            length = rng.uniform(60, 300)
+            curve = rng.uniform(-0.004, 0.004)
+            length = rng.uniform(100, 400)
             t = np.arange(0, length)
-            xs = np.clip(x0 + t * np.cos(ang), 0, res - 1).astype(int)
-            ys = np.clip(y0 + t * np.sin(ang), 0, res - 1).astype(int)
-            img[ys, xs] += rng.uniform(80, 180)
-        img += rng.normal(0, 3, img.shape)
+            xs = np.clip(x0 + t * np.cos(ang + curve * t), 0, res - 1).astype(int)
+            ys = np.clip(y0 + t * np.sin(ang + curve * t), 0, res - 1).astype(int)
+            img[ys, xs] += rng.uniform(100, 200)
         tiff.imwrite(os.path.join(out_dir, f"{i:03d}.tif"), np.clip(img, 0, 255).astype(np.uint8))
 
 
