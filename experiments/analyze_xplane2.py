@@ -1,0 +1,91 @@
+"""Sharper xplane analysis: exclusive per-op times from the device
+"XLA Ops" line only (async copy-start spans overlap and mislead),
+aggregated per step and categorized (conv / dot / fusion / copy /
+reduce / other), with a cumulative table.
+
+Usage: PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python python
+       experiments/analyze_xplane2.py [xplane.pb] [--steps N]
+"""
+
+import collections
+import glob
+import os
+import re
+import sys
+
+sys.path.insert(0, "/opt/venv/lib/python3.12/site-packages/tensorflow")
+
+from tsl.profiler.protobuf import xplane_pb2  # noqa: E402
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def categorize(name: str) -> str:
+    if name.startswith("%convolution") or "convolution" in name.split("=")[0]:
+        return "conv"
+    if re.match(r"%(dot|.*dot_fusion)", name):
+        return "dot"
+    if name.startswith("%copy") or "copy-done" in name or "copy-start" in name:
+        return "copy"
+    if name.startswith("%fusion") or "_fusion" in name.split("=")[0]:
+        return "fusion"
+    if name.startswith("%reduce") or "reduce" in name.split("=")[0]:
+        return "reduce"
+    if name.startswith("%slice") or name.startswith("%dynamic"):
+        return "slice"
+    if name.startswith("%all-") or name.startswith("%collective"):
+        return "collective"
+    return "other"
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    steps = 3
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--steps":
+            steps = int(sys.argv[1:][i + 1])
+            args = [x for x in args if x != sys.argv[1:][i + 1]]
+    paths = args or sorted(
+        glob.glob(os.path.join(HERE, "profile_out", "**", "*.xplane.pb"), recursive=True)
+    )
+    for path in paths:
+        space = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            space.ParseFromString(f.read())
+        print(f"== {path}  (divide by {steps} steps)")
+        for plane in space.planes:
+            if "TPU" not in plane.name and "device" not in plane.name.lower():
+                continue
+            meta = {m.id: m for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                per_op = collections.Counter()
+                per_op_count = collections.Counter()
+                per_cat = collections.Counter()
+                total = 0
+                for ev in line.events:
+                    md = meta.get(ev.metadata_id)
+                    name = md.name if md else f"id{ev.metadata_id}"
+                    per_op[name] += ev.duration_ps
+                    per_op_count[name] += 1
+                    per_cat[categorize(name)] += ev.duration_ps
+                    total += ev.duration_ps
+                print(f"-- plane {plane.name}: XLA Ops exclusive total "
+                      f"{total/1e9:.3f} ms = {total/1e9/steps:.3f} ms/step, "
+                      f"{sum(per_op_count.values())} events "
+                      f"({sum(per_op_count.values())//steps}/step), "
+                      f"{len(per_op)} distinct ops")
+                print("   by category (ms/step):")
+                for cat, ps in per_cat.most_common():
+                    print(f"     {cat:10s} {ps/1e9/steps:7.3f}")
+                print("   top ops (ms/step, count/step):")
+                shown = 0
+                for name, ps in per_op.most_common(60):
+                    print(f"   {ps/1e9/steps:7.3f} ms x{per_op_count[name]//steps:<3d} {name[:140]}")
+                    shown += ps
+                print(f"   [top 60 = {shown/1e9/steps:.3f} ms/step of {total/1e9/steps:.3f}]")
+
+
+if __name__ == "__main__":
+    main()

@@ -61,8 +61,22 @@ def _rbf(a, b, length=0.25):
     return np.exp(-0.5 * d2 / length**2)
 
 
-def gp_minimize(func, dimensions, n_calls: int = 100, n_initial_points: int = 10, random_state=None, **_ignored):
+def gp_minimize(
+    func,
+    dimensions,
+    n_calls: int = 100,
+    n_initial_points: int = 10,
+    random_state=None,
+    noise: float = 1e-2,
+    **_ignored,
+):
     """Minimize ``func`` over ``dimensions`` (list of Real/Integer).
+
+    ``noise`` is the assumed observation-noise variance on the normalized
+    objective scale (skopt models this with a WhiteKernel).  Crappifier
+    objectives are stochastic (fresh noise draws per call), and a
+    noiseless GP interpolating noisy values produces erratic EI — the
+    parameter-recovery oracle (tests/test_bayes.py) fails without it.
 
     Returns an object with ``.x`` (best params), ``.fun`` (best value),
     ``.x_iters`` and ``.func_vals`` (skopt-compatible surface).
@@ -89,7 +103,7 @@ def gp_minimize(func, dimensions, n_calls: int = 100, n_initial_points: int = 10
         y_mean, y_std = ya.mean(), ya.std() + 1e-12
         yn = (ya - y_mean) / y_std
 
-        K = _rbf(Xn, Xn) + 1e-6 * np.eye(len(Xn))
+        K = _rbf(Xn, Xn) + (1e-6 + noise) * np.eye(len(Xn))
         try:
             chol = cho_factor(K, lower=True)
             alpha = cho_solve(chol, yn)

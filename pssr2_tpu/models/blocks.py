@@ -58,13 +58,17 @@ class SGBiasConv(nnx.Conv):
         dt = x.dtype if self.dtype is None else self.dtype
         dil = self.kernel_dilation
         dil = (dil, dil) if isinstance(dil, int) else tuple(dil)
+        strides = self.strides
+        strides = (strides, strides) if isinstance(strides, int) else tuple(strides)
         y = lax.conv_general_dilated(
             x.astype(dt),
             self.kernel[...].astype(dt),
-            window_strides=(1, 1),
+            window_strides=strides,
             padding=self.padding,
             rhs_dilation=dil,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+            precision=self.precision,
         )
         return y + lax.stop_gradient(self.bias[...].astype(dt))
 

@@ -111,7 +111,13 @@ def test_mesh_matches_single_device(tmp_path):
         return losses, val
 
     a_losses, a_val = run(None)
+    from pssr2_tpu.ops.pallas import chanstats
+
+    mode_before = chanstats.AUTO_MODE
     b_losses, b_val = run(data_mesh())
+    # Regression (round-2 VERDICT weak #4): mesh training must not leak a
+    # mutation of the module-level chanstats mode into later runs.
+    assert chanstats.AUTO_MODE == mode_before
     np.testing.assert_allclose(a_losses, b_losses, rtol=2e-4)
     np.testing.assert_allclose(a_val, b_val, rtol=2e-4)
 

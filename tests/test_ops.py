@@ -173,8 +173,9 @@ def test_dual_sums_kernel_matches_jnp():
 
 
 def test_dual_sums_auto_mode_respects_mesh_guard():
-    """train_paired(mesh=...) flips chanstats.AUTO_MODE to "jnp" so the BN
-    reductions stay SPMD-partitionable; off-TPU auto also resolves to jnp."""
+    """chanstats.AUTO_MODE is "jnp" repo-wide (SPMD-partitionable BN
+    reductions; train_paired never mutates it); off-TPU auto also resolves
+    to jnp."""
     import jax.numpy as jnp
 
     from pssr2_tpu.ops.pallas import chanstats
