@@ -121,6 +121,15 @@ def build_util_classes():
         def object(self):
             return self.model.declaration
 
+        @property
+        def arguments(self):
+            """Raw current argument values (e.g. ``arguments["hr_res"]`` for
+            the viewer's placeholder layer shape)."""
+            return self.model.values
+
+        def _on_arg_changed(self, name, widget, *_):
+            self.model.set_arg(name, widget.value)
+
         def _sync_crappifier(self, *_):
             if self.crappifier is not None and self.model.current_class in self._dataset_types:
                 self.model.set_child(self.crappifier.object)
@@ -158,7 +167,12 @@ def build_util_classes():
 
             for spec in rows:
                 widget = self._make_widget(spec)
-                widget.changed.connect(partial(self.model.set_arg, spec.name))
+                # Read .value from the widget rather than trusting the
+                # signal payload: ValueWidgets emit their value but
+                # Container-based editors (ListEdit/NestedListEdit) emit
+                # the container itself when a child row changes, which
+                # would format the widget object into the declaration.
+                widget.changed.connect(partial(self._on_arg_changed, spec.name, widget))
                 (self.advanced_container if spec.advanced else self.arg_container).append(widget)
 
             if self.crappifier is not None:

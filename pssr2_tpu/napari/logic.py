@@ -140,6 +140,7 @@ class DeclarationModel:
         self.child_arg = child_arg  # e.g. "crappifier": value supplied by a sub-editor
         self.current = next(iter(self.objects))
         self.arguments = {}
+        self.values = {}  # raw (unformatted) argument values, same keys
         self.select(self.current)
 
     @property
@@ -154,19 +155,23 @@ class DeclarationModel:
         self.current = type_name
         rows = widget_specs(self.objects[type_name])
         self.arguments = {row.name: format_value(row.default) for row in rows}
+        self.values = {row.name: row.default for row in rows}
         return rows
 
     def set_arg(self, name: str, value, raw: bool = False):
         self.arguments[name] = format_value(value, raw=raw)
+        self.values[name] = value
 
     def set_child(self, declaration: str):
         """Set the sub-editor-supplied argument (e.g. crappifier=Poisson(...))."""
         if self.child_arg:
             self.arguments[self.child_arg] = declaration
+            self.values[self.child_arg] = declaration
 
     def remove_child(self):
         if self.child_arg:
             self.arguments.pop(self.child_arg, None)
+            self.values.pop(self.child_arg, None)
 
     @property
     def declaration(self) -> str:

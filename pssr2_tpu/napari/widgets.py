@@ -382,7 +382,7 @@ def build_widget_classes():
                 except Exception:
                     pass
                 self.viewer.add_image(
-                    np.zeros(shape=[1] + [self.dataset.arguments["hr_res"]] * 2, dtype=np.uint8), name=name
+                    np.zeros(shape=[1] + [int(self.dataset.arguments["hr_res"])] * 2, dtype=np.uint8), name=name
                 )
 
             self.thread.start()
