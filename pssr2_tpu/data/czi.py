@@ -22,6 +22,13 @@ import numpy as np
 _PIXEL_DTYPES = {0: np.uint8, 1: np.uint16, 12: np.float32}
 _PIXEL_IDS = {np.dtype(np.uint8): 0, np.dtype(np.uint16): 1, np.dtype(np.float32): 12}
 
+# Pluggable decoders for compression ids the in-repo codec does not decode
+# natively (1=JPEG, 4=JpegXR).  A decoder is ``(data: bytes, dtype) ->
+# bytes | ndarray``; czi_convert.py registers an imagecodecs/czifile-backed
+# one when available so JpegXR acquisitions can be rewritten once into
+# raw/zstd files this codec reads everywhere.
+EXTRA_DECODERS = {}
+
 
 def _unpack_hilo(raw: bytes, itemsize: int) -> bytes:
     """Invert the zstd1 hi/lo byte-plane packing (all low bytes, then all
@@ -72,10 +79,16 @@ def _decompress_subblock(compression: int, data: bytes, dtype) -> bytes:
             payload = payload[hsize:]
         raw = _zstd.decompress(payload)
         return _unpack_hilo(raw, np.dtype(dtype).itemsize) if hilo else raw
+    if compression in EXTRA_DECODERS:
+        out = EXTRA_DECODERS[compression](bytes(data), dtype)
+        return out.astype(dtype, copy=False).tobytes() if isinstance(out, np.ndarray) else out
     names = {1: "JPEG", 2: "LZW", 4: "JpegXR"}
     raise NotImplementedError(
         f"czi: {names.get(compression, f'id {compression}')}-compressed subblocks are not "
-        f"supported; re-export uncompressed or zstd-compressed from ZEN"
+        f"supported natively; convert the file once with "
+        f"`python -m pssr2_tpu.data.czi_convert in.czi out.czi` on a machine "
+        f"with imagecodecs/czifile installed, or re-export uncompressed or "
+        f"zstd-compressed from ZEN"
     )
 
 
