@@ -65,6 +65,10 @@ def main():
     from pssr2_tpu.util import SSIMLoss
 
     epochs = int(os.environ.get("DEMO_EPOCHS", 220))
+    # DEMO_LOSS_BF16=1: gate for running the loss itself in bf16 (the
+    # variance terms cancel in 8-bit mantissas; the bench may only adopt
+    # the -4 ms/step win if end quality holds — experiments/mxu_probe22).
+    loss_dtype = jnp.bfloat16 if os.environ.get("DEMO_LOSS_BF16") == "1" else None
     data_dir = os.path.join(tempfile.gettempdir(), "quality_demo_phantoms")
     make_phantoms(data_dir, n=120)
 
@@ -74,7 +78,7 @@ def main():
 
     t0 = time.time()
     train_losses, val_losses = train_paired(
-        model, dataset, batch_size=16, loss_fn=SSIMLoss(mix=0.8, ms=True),
+        model, dataset, batch_size=16, loss_fn=SSIMLoss(mix=0.8, ms=True, dtype=loss_dtype),
         optim=optim, epochs=epochs, log_frequency=50, steps_per_dispatch=8, seed=0,
     )
     wall = time.time() - t0

@@ -50,6 +50,38 @@ class SGBiasConv(nnx.Conv):
     semantic difference.
     """
 
+    def folded_call(self, x, sg_bias: bool = False):
+        """Run this conv on a lane-folded input (B/2, H, W, 2*C_in) with a
+        block-diagonal kernel — identical math at full lane occupancy (the
+        zero cross-blocks contribute exact zeros; see models/resunet.py
+        lane-fold notes).  Gradients flow through the block construction,
+        so dW is the sum over both sample groups, exactly as unfolded."""
+        from jax import lax
+
+        k = self.kernel[...]
+        kh, kw, cin, cout = k.shape
+        kbd = jnp.zeros((kh, kw, 2 * cin, 2 * cout), k.dtype)
+        kbd = kbd.at[:, :, :cin, :cout].set(k).at[:, :, cin:, cout:].set(k)
+        dt = x.dtype if self.dtype is None else self.dtype
+        dil = self.kernel_dilation
+        dil = (dil, dil) if isinstance(dil, int) else tuple(dil)
+        strides = self.strides
+        strides = (strides, strides) if isinstance(strides, int) else tuple(strides)
+        y = lax.conv_general_dilated(
+            x.astype(dt),
+            kbd.astype(dt),
+            window_strides=strides,
+            padding=self.padding,
+            rhs_dilation=dil,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+            precision=self.precision,
+        )
+        if self.bias is not None:
+            bias = jnp.tile(self.bias[...], 2).astype(dt)
+            y = y + (lax.stop_gradient(bias) if sg_bias else bias)
+        return y
+
     def __call__(self, x, sg_bias: bool = False):
         if not sg_bias or self.bias is None:
             return super().__call__(x)
@@ -165,6 +197,20 @@ class ResBlock(nnx.Module):
             if layer_idx + 1 < self.n_layers:
                 h = nnx.relu(h)
         return nnx.relu(h + self.respass(x))
+
+    def folded_call(self, x):
+        """Lane-folded execution: x is (B/2, H, W, 2*C_in); identical math
+        via block-diagonal convs + fold-aware BN statistics."""
+        h = x
+        for layer_idx in range(self.n_layers):
+            norm = self.norms[layer_idx]
+            sg = norm is not None and not norm.use_running_average
+            h = self.convs[layer_idx].folded_call(h, sg_bias=sg)
+            if norm is not None:
+                h = norm(h, folded=True)
+            if layer_idx + 1 < self.n_layers:
+                h = nnx.relu(h)
+        return nnx.relu(h + self.respass.folded_call(x))
 
 
 class ResBlockA(nnx.Module):

@@ -17,6 +17,44 @@ from flax import nnx
 from ..ops.shuffle import pixel_shuffle
 from .blocks import PSPPooling, Reconstruction, batch_norm, force_list, get_resblock, resolve_dtype
 
+# Lane-fold execution toggle for the C<=64 @full-resolution stages.
+# bf16 NHWC tensors with C<=64 are physically lane-padded to 128 in HBM
+# (2x traffic; layouts in experiments/mxu_probe20.hlo), so the stem +
+# first encoder block + last decoder block run with TWO batch samples
+# folded into the channel dim (block-diagonal conv weights + fold-aware
+# BN statistics, ops/batchnorm.bn_train_folded) — identical math at full
+# lane occupancy.  "auto" folds on TPU for even batch sizes; True/False
+# force it (tests exercise the folded path on CPU with True).
+FOLD_LANES = "auto"
+
+
+def _fold_lanes_enabled(batch: int) -> bool:
+    if batch % 2:
+        return False
+    if FOLD_LANES == "auto":
+        import jax
+
+        return jax.default_backend() == "tpu"
+    return bool(FOLD_LANES)
+
+
+def _fold2(x):
+    """(B, H, W, C) -> (B/2, H, W, 2C): channel half h holds sample group h."""
+    b = x.shape[0]
+    return jnp.concatenate([x[: b // 2], x[b // 2 :]], axis=-1)
+
+
+def _unfold2(x):
+    c = x.shape[-1] // 2
+    return jnp.concatenate([x[..., :c], x[..., c:]], axis=0)
+
+
+def _fold_concat(a, b):
+    """Channel-concat of two folded tensors, keeping the folded layout
+    (half0 = [a0, b0], half1 = [a1, b1]) the block-diagonal weights expect."""
+    ca, cb = a.shape[-1] // 2, b.shape[-1] // 2
+    return jnp.concatenate([a[..., :ca], b[..., :cb], a[..., ca:], b[..., cb:]], axis=-1)
+
 
 class ResUNet(nnx.Module):
     def __init__(
@@ -125,28 +163,57 @@ class ResUNet(nnx.Module):
         x = jnp.transpose(x, (0, 2, 3, 1))  # -> NHWC
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        if self.norm is not None:
-            x = self.norm(x)
 
-        skips = [x]
-        for idx, layer in enumerate(self.encoder):
+        # lane-fold the highest-resolution C<=64 stages (see FOLD_LANES)
+        fold = (
+            self.norm is not None
+            and self.reconstruction_pool is None
+            and len(self.encoder) >= 2
+            and self.encoder[0].convs[0].kernel.shape[-1] * 2 <= 128
+            and _fold_lanes_enabled(x.shape[0])
+        )
+
+        skips = []  # (tensor, is_folded)
+        if fold:
+            xf = self.norm(_fold2(x), folded=True)
+            skips.append((xf, True))
+            hf = self.encoder[0].folded_call(xf)
+            skips.append((hf, True))
+            x = _unfold2(nnx.max_pool(hf, window_shape=(2, 2), strides=(2, 2)))
+            enc_rest = list(self.encoder)[1:]
+        else:
+            if self.norm is not None:
+                x = self.norm(x)
+            skips.append((x, False))
+            enc_rest = list(self.encoder)
+
+        for idx, layer in enumerate(enc_rest):
             x = layer(x)
-            if idx + 1 < len(self.encoder):
-                skips.append(x)
+            if idx + 1 < len(enc_rest):
+                skips.append((x, False))
                 x = nnx.max_pool(x, window_shape=(2, 2), strides=(2, 2))
 
         if self.encoder_pool is not None:
             x = self.encoder_pool(x)
 
+        x_folded = False
         for layer in self.decoder:
             x = pixel_shuffle(x, 2, channels_last=True)
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = layer(x)
+            skip, skip_folded = skips.pop()
+            if skip_folded:
+                x = layer.folded_call(_fold_concat(_fold2(x), skip))
+                x_folded = True
+            else:
+                x = layer(jnp.concatenate([x, skip], axis=-1))
 
         if self.reconstruction_pool is not None:
             x = self.reconstruction_pool(x)
 
-        x = jnp.concatenate([x, skips.pop()], axis=-1)
+        skip, skip_folded = skips.pop()
+        if x_folded and skip_folded:
+            x = _unfold2(_fold_concat(x, skip))
+        else:
+            x = jnp.concatenate([x, skip], axis=-1)
         if skips:
             raise IndexError(
                 f"Skip connection mismatch between encoder and decoder. "

@@ -124,33 +124,39 @@ class WindowAttention(nnx.Module):
         self.attn_drop = nnx.Dropout(attn_drop, rngs=rngs) if attn_drop > 0 else None
         self.proj_drop = nnx.Dropout(proj_drop, rngs=rngs) if proj_drop > 0 else None
 
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, mask_spec=None):
         b_, n, c = x.shape
-        # token-major (b, n, h, d) throughout: contracting via einsum with
-        # heads as an inner dim avoids the materialized (3, B, h, n, d)
-        # transpose that cost ~1 ms/block at batched-inference shapes
-        # (profiler capture, experiments/profile_swinir; measured neutral at
-        # batch-16 infer — XLA emits the same copies either way); contractions are
-        # identical to the reference's q k^T / attn v.
-        qkv = self.qkv(x).reshape(b_, n, 3, self.num_heads, c // self.num_heads)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b_, n, h, d)
-
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * self.scale, k)
+        qkv = self.qkv(x)  # (b_, n, 3c), features ordered q | k | v
 
         idx = _relative_position_index(*self.window_size).reshape(-1)
-        bias = self.relative_position_bias_table.value[idx].reshape(n, n, -1)
-        attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
+        bias = self.relative_position_bias_table.value[idx].reshape(n, n, -1).transpose(2, 0, 1)
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, self.num_heads, n, n) + mask[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(-1, self.num_heads, n, n)
+        from ..ops.pallas import winattn
 
-        attn = jax.nn.softmax(attn, axis=-1)
-        if self.attn_drop is not None:
-            attn = self.attn_drop(attn)
-
-        x = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b_, n, c)
+        nw = None if mask is None else mask.shape[0]
+        if self.attn_drop is None and winattn.eligible(b_, n, c, self.num_heads, nw):
+            # Fused Pallas path: softmax(qk+bias[+mask])v per window in
+            # VMEM — the XLA lowering materializes the (W,h,n,n) maps in
+            # HBM and relayouts qkv per block (~57 ms/step of copies at
+            # batch-16 inference, experiments/profile_swinir).  Backward
+            # recomputes through the reference einsum (exact autodiff).
+            x = winattn.fused_window_attention(
+                qkv, bias, mask_spec if mask is not None else None, self.scale, self.num_heads
+            )
+        else:
+            # token-major einsum formulation (identical math to the
+            # reference's q k^T / attn v, reference: swinir.py:516-597)
+            qkv_r = qkv.reshape(b_, n, 3, self.num_heads, c // self.num_heads)
+            q, k, v = qkv_r[:, :, 0], qkv_r[:, :, 1], qkv_r[:, :, 2]  # (b_, n, h, d)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * self.scale, k)
+            attn = attn + bias[None].astype(attn.dtype)
+            if mask is not None:
+                attn = attn.reshape(b_ // nw, nw, self.num_heads, n, n) + mask[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(-1, self.num_heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)
+            if self.attn_drop is not None:
+                attn = self.attn_drop(attn)
+            x = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b_, n, c)
         x = self.proj(x)
         if self.proj_drop is not None:
             x = self.proj_drop(x)
@@ -207,7 +213,11 @@ class SwinTransformerBlock(nnx.Module):
         x_windows = x_windows.reshape(-1, self.window_size * self.window_size, c)
 
         mask = _shift_attn_mask(h, w, self.window_size, self.shift_size)
-        attn_windows = self.attn(x_windows, mask=None if mask is None else jnp.asarray(mask))
+        attn_windows = self.attn(
+            x_windows,
+            mask=None if mask is None else jnp.asarray(mask),
+            mask_spec=(h, w, self.window_size, self.shift_size),
+        )
 
         attn_windows = attn_windows.reshape(-1, self.window_size, self.window_size, c)
         x = window_reverse(attn_windows, self.window_size, h, w)

@@ -93,6 +93,79 @@ def _bn_train_bwd(eps, res, g):
 bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
 
 
+# ---- lane-folded variant ---------------------------------------------------
+#
+# C<=64 NHWC tensors are physically lane-padded to 128 in HBM (layouts in
+# experiments/mxu_probe20.hlo), so every op on the 64-channel @128^2 stages
+# moves 2x the bytes.  The lane-fold execution path (models/resunet.py)
+# stacks two batch samples along channels (B,C) -> (B/2, 2C); this BN
+# computes the IDENTICAL per-true-channel statistics over the folded view
+# (the two channel halves are the two sample groups of the same channel)
+# with the same analytic-VJP structure as bn_train.
+
+
+def _fold_sums(s, c):
+    return s[:, :c] + s[:, c:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bn_train_folded(x, scale, bias, eps):
+    """Train BN over a lane-folded (N, H, W, 2C) tensor whose channel
+    halves are two sample groups of the same C true channels.  Returns
+    (y folded, mean (C,), var (C,)) — numerically the unfolded statistics
+    up to fp reassociation of the half sums."""
+    from .pallas.chanstats import dual_sums
+
+    c2ch = x.shape[-1]
+    c = c2ch // 2
+    x2 = x.reshape(-1, c2ch)
+    n = 2 * x2.shape[0]
+    s = _fold_sums(dual_sums(x2, x2), c)
+    mu = s[0] / n
+    var = jnp.maximum(0.0, s[1] / n - mu * mu)
+    r = lax.rsqrt(var + eps)
+    mul_t = jnp.tile(r * scale.astype(x.dtype), 2)
+    mu_t = jnp.tile(mu, 2)
+    bias_t = jnp.tile(bias.astype(x.dtype), 2)
+    y = (x - mu_t) * mul_t + bias_t
+    return y.astype(x.dtype), mu, var
+
+
+def _bn_train_folded_fwd(x, scale, bias, eps):
+    out = bn_train_folded(x, scale, bias, eps)
+    _, mu, var = out
+    return out, (x, scale, mu, var)
+
+
+def _bn_train_folded_bwd(eps, res, g):
+    # identical algebra to _bn_train_bwd with every channel reduction also
+    # summing the two fold halves and the per-channel factors tiled back
+    x, scale, mu, var = res
+    gy, gmu, gvar = g
+    c2ch = x.shape[-1]
+    c = c2ch // 2
+    n = 2 * (x.size // c2ch)
+    r = lax.rsqrt(var + eps)
+    a = r * scale
+
+    from .pallas.chanstats import dual_sums
+
+    t = _fold_sums(dual_sums(gy.reshape(-1, c2ch), x.reshape(-1, c2ch)), c)
+    t0, t1 = t[0], t[1]
+    s1 = t1 - mu * t0
+
+    dscale = s1 * r
+    dbias = t0
+    rr = r * r
+    c2f = (-a * rr * s1 + 2.0 * gvar) / n
+    c1f = (-a * t0 + a * rr * mu * s1 + gmu - 2.0 * gvar * mu) / n
+    dx = (gy * jnp.tile(a.astype(jnp.float32), 2) + x * jnp.tile(c2f, 2) + jnp.tile(c1f, 2)).astype(x.dtype)
+    return dx, dscale.astype(scale.dtype), dbias.astype(scale.dtype)
+
+
+bn_train_folded.defvjp(_bn_train_folded_fwd, _bn_train_folded_bwd)
+
+
 class FastBatchNorm(nnx.Module):
     """Drop-in replacement for the project's ``nnx.BatchNorm`` usage
     (channels-last input, float32 params/stats) built on :func:`bn_train`.
@@ -113,15 +186,22 @@ class FastBatchNorm(nnx.Module):
         self.dtype = dtype
         self.use_running_average = False
 
-    def __call__(self, x):
+    def __call__(self, x, folded: bool = False):
+        """``folded=True``: x is lane-folded (B/2, H, W, 2C) with channel
+        halves = two sample groups; statistics and running updates are the
+        per-true-channel ones (see bn_train_folded)."""
         if self.dtype is not None:
             x = x.astype(self.dtype)
         scale, bias = self.scale[...], self.bias[...]
         if self.use_running_average:
             mul = lax.rsqrt(self.var[...] + self.epsilon) * scale.astype(x.dtype)
-            y = (x - self.mean[...]) * mul + bias.astype(x.dtype)
+            mean = self.mean[...]
+            if folded:
+                mul, mean, bias = jnp.tile(mul, 2), jnp.tile(mean, 2), jnp.tile(bias, 2)
+            y = (x - mean) * mul + bias.astype(x.dtype)
             return y.astype(x.dtype)
-        y, mu, var = bn_train(x, scale, bias, self.epsilon)
+        fn = bn_train_folded if folded else bn_train
+        y, mu, var = fn(x, scale, bias, self.epsilon)
         m = self.momentum
         self.mean[...] = lax.stop_gradient(m * self.mean[...] + (1 - m) * mu)
         self.var[...] = lax.stop_gradient(m * self.var[...] + (1 - m) * var)

@@ -1,0 +1,173 @@
+"""Fused window attention (Pallas TPU): softmax(q k^T * scale + bias
+[+ shift-mask]) v per window, computed in VMEM.
+
+Why: at batched-inference shapes (SwinIR x4, batch 16, 128^2 input ->
+4096 windows x 6 heads x 64 tokens) the XLA lowering materializes the
+(W, h, n, n) attention maps in HBM (~201 MB per tensor) and relayouts the
+packed qkv per block (~1 ms copies each); the profiler capture
+(experiments/profile_swinir) attributes 57 ms/step to copies and 8.5 ms
+to softmax reductions out of a 117 ms step.  The per-window dots are
+format-limited on the MXU either way (K = head_dim), so the kernel's win
+is keeping everything between the qkv projection and the output
+projection in VMEM.
+
+The kernel processes G windows per grid step; per (window, head) it runs
+two small MXU dots and an f32 VPU softmax, writing only the (W, n, C)
+output to HBM.  Gradients: the public wrapper carries a custom VJP whose
+backward recomputes through the reference einsum formulation (XLA), so
+training through the fused path stays exact-to-autodiff of the reference
+math (reference: pssr/models/swinir.py:516-597).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _pick_chunk(n_windows: int, n_mask_windows) -> int:
+    for g in (16, 8, 4, 2, 1):
+        if n_windows % g == 0 and (n_mask_windows is None or n_mask_windows % g == 0):
+            return g
+    return 1
+
+
+def _attn_kernel(qkv_ref, bias_ref, out_ref, *, heads, d, scale, interpret_dtype=None):
+    qkv = qkv_ref[...]
+    c = heads * d
+    g_windows = qkv.shape[0]
+    for g in range(g_windows):
+        for h in range(heads):
+            q = qkv[g, :, h * d : (h + 1) * d]
+            k = qkv[g, :, c + h * d : c + (h + 1) * d]
+            v = qkv[g, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            s = s * scale + bias_ref[h, :, :].astype(jnp.float32)
+            p = jax.nn.softmax(s, axis=-1).astype(qkv.dtype)
+            o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+            out_ref[g, :, h * d : (h + 1) * d] = o.astype(out_ref.dtype)
+
+
+def _attn_kernel_masked(qkv_ref, bias_ref, mask_ref, out_ref, *, heads, d, scale):
+    qkv = qkv_ref[...]
+    c = heads * d
+    for g in range(qkv.shape[0]):
+        mask_g = mask_ref[g, :, :].astype(jnp.float32)
+        for h in range(heads):
+            q = qkv[g, :, h * d : (h + 1) * d]
+            k = qkv[g, :, c + h * d : c + (h + 1) * d]
+            v = qkv[g, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            s = s * scale + bias_ref[h, :, :].astype(jnp.float32) + mask_g
+            p = jax.nn.softmax(s, axis=-1).astype(qkv.dtype)
+            o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+            out_ref[g, :, h * d : (h + 1) * d] = o.astype(out_ref.dtype)
+
+
+def _pallas_window_attention(qkv, bias, mask, scale, heads, interpret=False):
+    """qkv (W, n, 3C), bias (heads, n, n), mask (nW, n, n) or None ->
+    (W, n, C).  W must be a multiple of the chunk size; when masked, nW
+    must divide the window count per image AND the chunk."""
+    w, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    nw = None if mask is None else mask.shape[0]
+    g = _pick_chunk(w, nw)
+    grid = (w // g,)
+
+    in_specs = [
+        pl.BlockSpec((g, n, c3), lambda i: (i, 0, 0)),
+        pl.BlockSpec((heads, n, n), lambda i: (0, 0, 0)),
+    ]
+    operands = [qkv, bias]
+    if mask is None:
+        kernel = functools.partial(_attn_kernel, heads=heads, d=d, scale=scale)
+    else:
+        kernel = functools.partial(_attn_kernel_masked, heads=heads, d=d, scale=scale)
+        blocks_per_image = nw // g
+        in_specs.append(pl.BlockSpec((g, n, n), lambda i: (i % blocks_per_image, 0, 0)))
+        operands.append(mask.astype(jnp.float32))
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((g, n, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((w, n, c), qkv.dtype),
+        interpret=interpret,
+    )(*operands)
+
+
+def reference_window_attention(qkv, bias, mask, scale, heads):
+    """The XLA einsum formulation (identical math; used as the fused
+    path's VJP recompute target and as the general fallback)."""
+    w, n, c3 = qkv.shape
+    c = c3 // 3
+    qkv = qkv.reshape(w, n, 3, heads, c // heads)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (w, n, h, d)
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+    attn = attn + bias[None].astype(attn.dtype)
+    if mask is not None:
+        nw = mask.shape[0]
+        attn = attn.reshape(w // nw, nw, heads, n, n) + mask[None, :, None].astype(attn.dtype)
+        attn = attn.reshape(w, heads, n, n)
+    attn = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(w, n, c)
+
+
+@functools.lru_cache(maxsize=64)
+def _fused_fn(heads, scale, mask_spec, interpret):
+    """custom_vjp wrapper per static config.  ``mask_spec`` is the
+    hashable (h, w, window, shift) key for _shift_attn_mask, or None."""
+    if mask_spec is None:
+        mask = None
+    else:
+        from ...models.swinir import _shift_attn_mask
+
+        # keep as a NUMPY constant: a jnp conversion here would run inside
+        # whatever trace first hits this cache entry and leak its tracer
+        # into later traces (the factory is lru_cached)
+        mask = _shift_attn_mask(*mask_spec)
+
+    @jax.custom_vjp
+    def attn(qkv, bias):
+        return _pallas_window_attention(qkv, bias, mask, scale, heads, interpret=interpret)
+
+    def fwd(qkv, bias):
+        return attn(qkv, bias), (qkv, bias)
+
+    def bwd(res, g):
+        qkv, bias = res
+        _, vjp = jax.vjp(
+            lambda a, b: reference_window_attention(a, b, mask, scale, heads), qkv, bias
+        )
+        return vjp(g)
+
+    attn.defvjp(fwd, bwd)
+    return attn
+
+
+def fused_window_attention(qkv, bias, mask_spec, scale, heads, interpret=False):
+    """Public fused path: qkv (W, n, 3C), bias (heads, n, n) differentiable,
+    ``mask_spec`` = None or the (h, w, window_size, shift_size) key of the
+    trace-time shift mask."""
+    return _fused_fn(heads, float(scale), mask_spec, interpret)(qkv, bias)
+
+
+def eligible(w, n, c, heads, mask_windows, backend=None) -> bool:
+    """Fused-path gating: TPU (or interpret), aligned shapes, lane-friendly
+    token count, chunk divisibility."""
+    backend = backend or jax.default_backend()
+    if backend != "tpu":
+        return False
+    if n % 8 != 0 or c % heads != 0:
+        return False
+    g = _pick_chunk(w, mask_windows)
+    if mask_windows is not None and (mask_windows % g or w % mask_windows):
+        return False
+    return w % g == 0
