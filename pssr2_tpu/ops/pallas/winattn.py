@@ -27,46 +27,53 @@ from jax.experimental import pallas as pl
 
 
 def _pick_chunk(n_windows: int, n_mask_windows) -> int:
+    # G=16 measured best at bench shapes (experiments/mxu_probe23: 3.79 ms
+    # vs 4.36 at G=8, 3.87 at G=32, 5.10 XLA einsum, 12.78 per-window loop)
     for g in (16, 8, 4, 2, 1):
         if n_windows % g == 0 and (n_mask_windows is None or n_mask_windows % g == 0):
             return g
     return 1
 
 
-def _attn_kernel(qkv_ref, bias_ref, out_ref, *, heads, d, scale, interpret_dtype=None):
+def _attn_kernel(qkv_ref, bias_ref, out_ref, *, heads, d, scale):
+    # batched dots over the whole G-window chunk per head: one
+    # (G,n,d)x(G,n,d)->(G,n,n) dot_general + one block softmax instead of
+    # G small dots — the per-window-loop form was op-issue-bound and 2.5x
+    # slower (mxu_probe23)
     qkv = qkv_ref[...]
     c = heads * d
-    g_windows = qkv.shape[0]
-    for g in range(g_windows):
-        for h in range(heads):
-            q = qkv[g, :, h * d : (h + 1) * d]
-            k = qkv[g, :, c + h * d : c + (h + 1) * d]
-            v = qkv[g, :, 2 * c + h * d : 2 * c + (h + 1) * d]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            s = s * scale + bias_ref[h, :, :].astype(jnp.float32)
-            p = jax.nn.softmax(s, axis=-1).astype(qkv.dtype)
-            o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-            out_ref[g, :, h * d : (h + 1) * d] = o.astype(out_ref.dtype)
+    for h in range(heads):
+        q = qkv[:, :, h * d : (h + 1) * d]
+        k = qkv[:, :, c + h * d : c + (h + 1) * d]
+        v = qkv[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias_ref[h][None]
+        p = jax.nn.softmax(s, axis=-1).astype(qkv.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        out_ref[:, :, h * d : (h + 1) * d] = o.astype(out_ref.dtype)
 
 
 def _attn_kernel_masked(qkv_ref, bias_ref, mask_ref, out_ref, *, heads, d, scale):
     qkv = qkv_ref[...]
     c = heads * d
-    for g in range(qkv.shape[0]):
-        mask_g = mask_ref[g, :, :].astype(jnp.float32)
-        for h in range(heads):
-            q = qkv[g, :, h * d : (h + 1) * d]
-            k = qkv[g, :, c + h * d : c + (h + 1) * d]
-            v = qkv[g, :, 2 * c + h * d : 2 * c + (h + 1) * d]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            s = s * scale + bias_ref[h, :, :].astype(jnp.float32) + mask_g
-            p = jax.nn.softmax(s, axis=-1).astype(qkv.dtype)
-            o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-            out_ref[g, :, h * d : (h + 1) * d] = o.astype(out_ref.dtype)
+    mask_g = mask_ref[...]
+    for h in range(heads):
+        q = qkv[:, :, h * d : (h + 1) * d]
+        k = qkv[:, :, c + h * d : c + (h + 1) * d]
+        v = qkv[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias_ref[h][None] + mask_g
+        p = jax.nn.softmax(s, axis=-1).astype(qkv.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        out_ref[:, :, h * d : (h + 1) * d] = o.astype(out_ref.dtype)
 
 
 def _pallas_window_attention(qkv, bias, mask, scale, heads, interpret=False):
