@@ -20,11 +20,19 @@ from .blocks import PSPPooling, Reconstruction, batch_norm, force_list, get_resb
 # Lane-fold execution toggle for the C<=64 @full-resolution stages.
 # bf16 NHWC tensors with C<=64 are physically lane-padded to 128 in HBM
 # (2x traffic; layouts in experiments/mxu_probe20.hlo), so the stem +
-# first encoder block + last decoder block run with TWO batch samples
+# first encoder block + last decoder block CAN run with TWO batch samples
 # folded into the channel dim (block-diagonal conv weights + fold-aware
 # BN statistics, ops/batchnorm.bn_train_folded) — identical math at full
-# lane occupancy.  "auto" folds on TPU for even batch sizes; True/False
-# force it (tests exercise the folded path on CPU with True).
+# lane occupancy.
+#
+# MEASURED NEGATIVE composed (kept as the documented negative result, the
+# repo's standard for closed perf levers): the canonical train step is
+# +4.6 ms WITH the fold (experiments/mxu_probe24: 46.5 -> 51.2 ms f32
+# loss, 42.7 -> 46.1 bf16 loss) although the standalone micro won
+# (mxu_probe22) — the fold/unfold boundary copies and the changed conv
+# emitter tiling cost more than the padding saves.  Another
+# standalone-vs-composed reversal (see CLAUDE.md).  "auto" is therefore
+# OFF everywhere; True forces it (parity tests exercise the folded path).
 FOLD_LANES = "auto"
 
 
@@ -32,9 +40,7 @@ def _fold_lanes_enabled(batch: int) -> bool:
     if batch % 2:
         return False
     if FOLD_LANES == "auto":
-        import jax
-
-        return jax.default_backend() == "tpu"
+        return False
     return bool(FOLD_LANES)
 
 
