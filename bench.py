@@ -43,6 +43,20 @@ RESUNET_FWD_FLOPS_512 = 63.3e9
 TRAIN_FLOPS_MULT = 3.0  # fwd + ~2x fwd for the backward
 
 
+def _loss_dtype():
+    """BENCH_LOSS_BF16=1 runs the SSIM loss itself in bf16.  Measured
+    -3.8 ms/step (mxu_probe24) but REJECTED by the end-quality gate:
+    220-epoch training diverges to NaN (variance cancellation in 8-bit
+    mantissas blows up the SSIM denominators —
+    experiments/quality_demo_bf16loss.log).  Kept only as an explicit
+    opt-in for experimentation; the canonical bench stays f32."""
+    if os.environ.get("BENCH_LOSS_BF16") == "1":
+        import jax.numpy as jnp
+
+        return jnp.bfloat16
+    return None
+
+
 def _build(batch_size, hr_res, lr_scale, dtype=None):
     import jax
     from flax import nnx
@@ -64,7 +78,7 @@ def _build(batch_size, hr_res, lr_scale, dtype=None):
     def gen_pair(key, batch, augment):
         return base(key, batch)
 
-    loss_fn = SSIMLoss(mix=0.8, ms=True)
+    loss_fn = SSIMLoss(mix=0.8, ms=True, dtype=_loss_dtype())
     fused_step, _ = _build_paired_steps(loss_fn, False, gen_pair)
     host_step, _ = _build_paired_steps(loss_fn, False, None)
     # cached module traversal, as the real train loop dispatches
@@ -228,7 +242,8 @@ def main():
 
         base = make_device_gen_pair(lr_scale, Poisson(), None, augment=True)
         multi = _build_multi_train_step(
-            SSIMLoss(mix=0.8, ms=True), False, lambda key, batch, augment: base(key, batch)
+            SSIMLoss(mix=0.8, ms=True, dtype=_loss_dtype()), False,
+            lambda key, batch, augment: base(key, batch),
         )
         multi = nnx.cached_partial(multi, model, optimizer)
         batches = jnp.stack([hr_u8] * spd)

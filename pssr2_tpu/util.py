@@ -48,12 +48,13 @@ class SSIMLoss:
             dtype : Optional compute dtype for the loss (e.g.
                 ``jnp.bfloat16``).  The default (None) keeps float32,
                 matching pytorch_msssim numerics.  bf16 halves the loss's
-                HBM map traffic on TPU but the variance terms
-                (``E[x^2] - E[x]^2``) cancel catastrophically in 8-bit
-                mantissas: loss values shift by ~0.05 on noise-like
-                images (same behavior as pytorch_msssim under torch
-                autocast).  Opt in only after measuring quality on your
-                data.
+                HBM map traffic on TPU (-3.8 ms on the canonical step)
+                but the variance terms (``E[x^2] - E[x]^2``) cancel
+                catastrophically in 8-bit mantissas: loss values shift by
+                ~0.05, and a full 220-epoch canonical training DIVERGED
+                to NaN under bf16 loss (round-3 quality gate,
+                experiments/quality_demo_bf16loss.log).  Do not use for
+                training; at most for loss-value monitoring.
         """
         self.channels = channels
         self.win_size = win_size
