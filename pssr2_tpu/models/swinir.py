@@ -124,12 +124,32 @@ class WindowAttention(nnx.Module):
         self.attn_drop = nnx.Dropout(attn_drop, rngs=rngs) if attn_drop > 0 else None
         self.proj_drop = nnx.Dropout(proj_drop, rngs=rngs) if proj_drop > 0 else None
 
+    def _bias(self, n):
+        idx = _relative_position_index(*self.window_size).reshape(-1)
+        return self.relative_position_bias_table.value[idx].reshape(n, n, -1).transpose(2, 0, 1)
+
+    def forward_image(self, x_img, mask_spec=None):
+        """Image-layout attention (B, H, W, C) -> (B, H, W, C): windows are
+        consumed in place by the 2-D fused kernel — no window_partition/
+        reverse and no operand relayout (~12 ms/step of copies at batch-16
+        inference, experiments/profile_swinir2).  Caller guarantees
+        eligibility (ops/pallas/winattn.eligible_2d)."""
+        from ..ops.pallas import winattn
+
+        ws = self.window_size[0]
+        qkv = self.qkv(x_img)
+        out = winattn.fused_window_attention_2d(
+            qkv, self._bias(ws * ws), mask_spec, self.scale, self.num_heads, ws
+        )
+        out = self.proj(out)
+        if self.proj_drop is not None:
+            out = self.proj_drop(out)
+        return out
+
     def __call__(self, x, mask=None, mask_spec=None):
         b_, n, c = x.shape
         qkv = self.qkv(x)  # (b_, n, 3c), features ordered q | k | v
-
-        idx = _relative_position_index(*self.window_size).reshape(-1)
-        bias = self.relative_position_bias_table.value[idx].reshape(n, n, -1).transpose(2, 0, 1)
+        bias = self._bias(n)
 
         from ..ops.pallas import winattn
 
@@ -209,18 +229,25 @@ class SwinTransformerBlock(nnx.Module):
         if self.shift_size > 0:
             x = jnp.roll(x, (-self.shift_size, -self.shift_size), axis=(1, 2))
 
-        x_windows = window_partition(x, self.window_size)
-        x_windows = x_windows.reshape(-1, self.window_size * self.window_size, c)
+        from ..ops.pallas import winattn
 
         mask = _shift_attn_mask(h, w, self.window_size, self.shift_size)
-        attn_windows = self.attn(
-            x_windows,
-            mask=None if mask is None else jnp.asarray(mask),
-            mask_spec=(h, w, self.window_size, self.shift_size),
-        )
-
-        attn_windows = attn_windows.reshape(-1, self.window_size, self.window_size, c)
-        x = window_reverse(attn_windows, self.window_size, h, w)
+        mask_spec = (h, w, self.window_size, self.shift_size)
+        if self.attn.attn_drop is None and winattn.eligible_2d(
+            b, h, w, c, self.num_heads, self.window_size
+        ):
+            # image-layout fused attention: windows consumed in place
+            x = self.attn.forward_image(x, mask_spec if mask is not None else None)
+        else:
+            x_windows = window_partition(x, self.window_size)
+            x_windows = x_windows.reshape(-1, self.window_size * self.window_size, c)
+            attn_windows = self.attn(
+                x_windows,
+                mask=None if mask is None else jnp.asarray(mask),
+                mask_spec=mask_spec,
+            )
+            attn_windows = attn_windows.reshape(-1, self.window_size, self.window_size, c)
+            x = window_reverse(attn_windows, self.window_size, h, w)
 
         if self.shift_size > 0:
             x = jnp.roll(x, (self.shift_size, self.shift_size), axis=(1, 2))

@@ -110,6 +110,100 @@ def _pallas_window_attention(qkv, bias, mask, scale, heads, interpret=False):
     )(*operands)
 
 
+def _attn_kernel_2d(qkv_ref, bias_ref, out_ref, *, heads, d, scale, ws, k):
+    # block (1, ws, ws*k, 3C): k horizontally-adjacent windows read straight
+    # from the IMAGE layout — no window_partition/reverse and no operand
+    # relayout copy (those cost ~12 ms/step at batch-16 SwinIR inference,
+    # profile_swinir2).  In-VMEM shuffle to (k, n, 3C) and back.
+    c = heads * d
+    qkv = qkv_ref[0]  # (ws, ws*k, 3C)
+    qkv = qkv.reshape(ws, k, ws, 3 * c).transpose(1, 0, 2, 3).reshape(k, ws * ws, 3 * c)
+    outs = []  # per-head outputs; Mosaic has no value-scatter, concat instead
+    for h in range(heads):
+        q = qkv[:, :, h * d : (h + 1) * d]
+        kk = qkv[:, :, c + h * d : c + (h + 1) * d]
+        v = qkv[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, kk, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias_ref[h][None]
+        p = jax.nn.softmax(s, axis=-1).astype(qkv.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        outs.append(o.astype(out_ref.dtype))
+    out = jnp.concatenate(outs, axis=-1)
+    out_ref[0] = out.reshape(k, ws, ws, c).transpose(1, 0, 2, 3).reshape(ws, ws * k, c)
+
+
+def _attn_kernel_2d_masked(qkv_ref, bias_ref, mask_ref, out_ref, *, heads, d, scale, ws, k):
+    c = heads * d
+    qkv = qkv_ref[0]
+    qkv = qkv.reshape(ws, k, ws, 3 * c).transpose(1, 0, 2, 3).reshape(k, ws * ws, 3 * c)
+    mask_g = mask_ref[0]  # (k, n, n)
+    outs = []
+    for h in range(heads):
+        q = qkv[:, :, h * d : (h + 1) * d]
+        kk = qkv[:, :, c + h * d : c + (h + 1) * d]
+        v = qkv[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, kk, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias_ref[h][None] + mask_g
+        p = jax.nn.softmax(s, axis=-1).astype(qkv.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        outs.append(o.astype(out_ref.dtype))
+    out = jnp.concatenate(outs, axis=-1)
+    out_ref[0] = out.reshape(k, ws, ws, c).transpose(1, 0, 2, 3).reshape(ws, ws * k, c)
+
+
+def _pick_chunk_2d(n_w_windows: int) -> int:
+    for k in (16, 8, 4, 2, 1):
+        if n_w_windows % k == 0:
+            return k
+    return 1
+
+
+def _pallas_window_attention_2d(qkv_img, bias, mask, scale, heads, ws, interpret=False):
+    """qkv in IMAGE layout (B, H, W, 3C) -> attention output (B, H, W, C),
+    windows read as ws x ws tiles in place."""
+    b, h_img, w_img, c3 = qkv_img.shape
+    c = c3 // 3
+    d = c // heads
+    n = ws * ws
+    nww = w_img // ws
+    k = _pick_chunk_2d(nww)
+    grid = (b, h_img // ws, nww // k)
+
+    in_specs = [
+        pl.BlockSpec((1, ws, ws * k, c3), lambda bi, i, j: (bi, i, j, 0)),
+        pl.BlockSpec((heads, n, n), lambda bi, i, j: (0, 0, 0)),
+    ]
+    operands = [qkv_img, bias]
+    if mask is None:
+        kernel = functools.partial(_attn_kernel_2d, heads=heads, d=d, scale=scale, ws=ws, k=k)
+    else:
+        kernel = functools.partial(
+            _attn_kernel_2d_masked, heads=heads, d=d, scale=scale, ws=ws, k=k
+        )
+        # mask is (nW, n, n) row-major over (H/ws, W/ws); block = the k
+        # masks of this chunk's window row segment
+        mask3 = mask.reshape(h_img // ws, nww, n, n)
+        in_specs.append(pl.BlockSpec((1, k, n, n), lambda bi, i, j: (i, j, 0, 0)))
+        operands.append(mask3.astype(jnp.float32) if hasattr(mask3, "astype") else mask3)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, ws, ws * k, c), lambda bi, i, j: (bi, i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h_img, w_img, c), qkv_img.dtype),
+        interpret=interpret,
+    )(*operands)
+
+
 def reference_window_attention(qkv, bias, mask, scale, heads):
     """The XLA einsum formulation (identical math; used as the fused
     path's VJP recompute target and as the general fallback)."""
@@ -125,6 +219,65 @@ def reference_window_attention(qkv, bias, mask, scale, heads):
         attn = attn.reshape(w, heads, n, n)
     attn = jax.nn.softmax(attn, axis=-1)
     return jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(w, n, c)
+
+
+def reference_window_attention_2d(qkv_img, bias, mask, scale, heads, ws):
+    """Image-layout reference: partition -> reference attention -> reverse
+    (differentiable; the 2-D fused path's VJP recompute target)."""
+    b, h_img, w_img, c3 = qkv_img.shape
+    c = c3 // 3
+    x = qkv_img.reshape(b, h_img // ws, ws, w_img // ws, ws, c3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c3)
+    out = reference_window_attention(x, bias, mask, scale, heads)
+    out = out.reshape(b, h_img // ws, w_img // ws, ws, ws, c)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h_img, w_img, c)
+
+
+@functools.lru_cache(maxsize=64)
+def _fused_fn_2d(heads, scale, ws, mask_spec, interpret):
+    if mask_spec is None:
+        mask = None
+    else:
+        from ...models.swinir import _shift_attn_mask
+
+        mask = _shift_attn_mask(*mask_spec)  # numpy constant (see _fused_fn)
+
+    @jax.custom_vjp
+    def attn(qkv_img, bias):
+        return _pallas_window_attention_2d(
+            qkv_img, bias, mask, scale, heads, ws, interpret=interpret
+        )
+
+    def fwd(qkv_img, bias):
+        return attn(qkv_img, bias), (qkv_img, bias)
+
+    def bwd(res, g):
+        qkv_img, bias = res
+        _, vjp = jax.vjp(
+            lambda a, b: reference_window_attention_2d(a, b, mask, scale, heads, ws),
+            qkv_img,
+            bias,
+        )
+        return vjp(g)
+
+    attn.defvjp(fwd, bwd)
+    return attn
+
+
+def fused_window_attention_2d(qkv_img, bias, mask_spec, scale, heads, ws, interpret=False):
+    """Image-layout fused path: qkv (B, H, W, 3C) -> (B, H, W, C); windows
+    are read as ws x ws tiles in place (no window_partition/reverse)."""
+    return _fused_fn_2d(heads, float(scale), ws, mask_spec, interpret)(qkv_img, bias)
+
+
+def eligible_2d(b, h_img, w_img, c, heads, ws, backend=None) -> bool:
+    backend = backend or jax.default_backend()
+    if backend != "tpu":
+        return False
+    if h_img % ws or w_img % ws or c % heads:
+        return False
+    n = ws * ws
+    return n % 8 == 0
 
 
 @functools.lru_cache(maxsize=64)

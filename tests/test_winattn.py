@@ -83,3 +83,45 @@ def test_eligibility_gate():
     assert not winattn.eligible(4096, 63, 96, 6, None, backend="tpu")  # ragged tokens
     assert not winattn.eligible(4096, 64, 100, 6, None, backend="tpu")  # c % heads
     assert not winattn.eligible(4100, 64, 96, 6, 256, backend="tpu")  # W % nW
+
+
+def test_fused_2d_matches_reference():
+    """Image-layout kernel (windows consumed in place) vs the partition ->
+    reference -> reverse formulation, unmasked and masked."""
+    from pssr2_tpu.models.swinir import _shift_attn_mask
+
+    heads, d, ws = 2, 8, 8
+    b, h, w = 2, 16, 32
+    c = heads * d
+    rng = np.random.default_rng(11)
+    qkv_img = jnp.asarray(rng.standard_normal((b, h, w, 3 * c)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, ws * ws, ws * ws)) * 0.1, jnp.float32)
+    scale = d**-0.5
+
+    want = winattn.reference_window_attention_2d(qkv_img, bias, None, scale, heads, ws)
+    got = winattn.fused_window_attention_2d(qkv_img, bias, None, scale, heads, ws, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    mask_spec = (h, w, ws, 4)
+    mask = jnp.asarray(_shift_attn_mask(*mask_spec))
+    want = winattn.reference_window_attention_2d(qkv_img, bias, mask, scale, heads, ws)
+    got = winattn.fused_window_attention_2d(qkv_img, bias, mask_spec, scale, heads, ws, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_2d_vjp_matches_reference_grads():
+    heads, d, ws = 2, 4, 4
+    b, h, w = 2, 8, 8
+    c = heads * d
+    rng = np.random.default_rng(13)
+    qkv_img = jnp.asarray(rng.standard_normal((b, h, w, 3 * c)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, ws * ws, ws * ws)) * 0.1, jnp.float32)
+    scale = d**-0.5
+
+    fused = lambda a, bb: winattn.fused_window_attention_2d(a, bb, None, scale, heads, ws, interpret=True)
+    ref = lambda a, bb: winattn.reference_window_attention_2d(a, bb, None, scale, heads, ws)
+    lf = lambda fn: (lambda a, bb: (fn(a, bb) ** 2).mean())
+    g_fused = jax.grad(lf(fused), argnums=(0, 1))(qkv_img, bias)
+    g_ref = jax.grad(lf(ref), argnums=(0, 1))(qkv_img, bias)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-5)
