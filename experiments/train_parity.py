@@ -43,15 +43,20 @@ def make_phantom_data(n_images=40, hr_res=64, lr_scale=4, seed=0):
 
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:hr_res, 0:hr_res]
+    # structure density scales with AREA: the counts below were tuned for
+    # 64^2; larger sheets would otherwise be mostly flat background, which
+    # makes SSIM training ill-conditioned (oscillating losses, multi-dB
+    # PSNR spread between identical-numerics frameworks — round-3 finding)
+    area = max(1, (hr_res // 64) ** 2)
     images = []
     for _ in range(n_images):
         img = np.zeros((hr_res, hr_res), np.float32)
-        for _ in range(rng.integers(4, 9)):
+        for _ in range(rng.integers(4 * area, 9 * area)):
             cy, cx = rng.uniform(0, hr_res, 2)
             s = rng.uniform(1.5, 5.0)
             a = rng.uniform(80, 200)
             img += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
-        for _ in range(rng.integers(1, 4)):
+        for _ in range(rng.integers(1 * area, 4 * area)):
             y0, x0 = rng.uniform(0, hr_res, 2)
             ang = rng.uniform(0, np.pi)
             length = rng.uniform(hr_res / 4, hr_res)
@@ -172,6 +177,7 @@ def run_parity(
     loss="mse",
     hr_res=64,
     device_pipe=False,
+    per_step_noise=False,
     track_steps=0,
     log=print,
 ):
@@ -225,6 +231,24 @@ def run_parity(
     lr_scale = 4
     lr_res = hr_res // lr_scale
 
+    # per_step_noise: ONE precomputed noise sequence shared by both
+    # frameworks — fresh Poisson draws every step (so neither side can
+    # memorize fixed noise instances, the failure mode that made
+    # fixed-LR SSIM runs measure overfitting dynamics instead of
+    # numerics) while inputs stay bit-identical across frameworks.
+    lr_steps = None
+    if per_step_noise:
+        from pssr2_tpu.ops.resize import resize_bilinear_np as _rbn
+
+        crap_seq = Poisson()
+        np.random.seed(seed + 3)
+        ds_tr = np.clip(np.round(_rbn(hr_tr, lr_res, lr_res)), 0, 255).astype(np.uint8)
+        lr_steps = []
+        for i in range(n_steps):
+            sel = flat[i * batch_size : (i + 1) * batch_size]
+            batch = np.stack([crap_seq.crappify(p) for p in ds_tr[sel]])
+            lr_steps.append(np.clip(np.round(batch), 0, 255).astype(np.float32))
+
     # ---- JAX training (the framework's real train step) ----
     optim = AdamW(1e-3)
     optimizer = nnx.Optimizer(model, optim.tx, wrt=nnx.Param)
@@ -248,6 +272,8 @@ def run_parity(
             key, k1 = jax.random.split(key)
             batch = jnp.asarray(hr_u8[sel])
             loss_v, _, _ = step(batch, None, k1, optim.lr, batch_size, False)
+        elif lr_steps is not None:
+            loss_v, _, _ = step((hr_tr[sel], lr_steps[i]), None, key, optim.lr, batch_size, False)
         else:
             loss_v, _, _ = step((hr_tr[sel], lr_tr[sel]), None, key, optim.lr, batch_size, False)
         if i < track_steps:
@@ -274,6 +300,8 @@ def run_parity(
         if device_pipe:
             lr_batch = np.stack([crap.crappify(p) for p in ds_hr[isel]])
             lr_batch = torch.from_numpy(np.clip(np.round(lr_batch), 0, 255).astype(np.float32))
+        elif lr_steps is not None:
+            lr_batch = torch.from_numpy(lr_steps[i])
         else:
             lr_batch = lr_t[sel]
         out = twin(lr_batch)
@@ -311,16 +339,19 @@ def main():
     # MSE, the round-2 regime, 3 seeds
     mse = [run_parity(seed=s, track_steps=100) for s in (0, 1, 2)]
     rows.append(("MSE, fixed LR (64->16), batch 8", mse))
-    # canonical SSIMLoss(mix=0.8, MS) at the canonical batch 16; data-rich
-    # (96 images) so neither side memorizes the fixed noise instances
+    # canonical SSIMLoss(mix=0.8, MS) at the canonical batch 16, with a
+    # SHARED per-step noise sequence: fresh Poisson draws each step so
+    # neither side memorizes fixed noise instances (that failure mode made
+    # deltas measure overfitting dynamics), identical inputs across
+    # frameworks
     ssim = [
         run_parity(
             seed=s, loss="ssim", hr_res=192, n_images=96, n_steps=400,
-            batch_size=16, track_steps=100,
+            batch_size=16, per_step_noise=True, track_steps=50,
         )
         for s in (0, 1)
     ]
-    rows.append(("SSIMLoss(mix=0.8, MS), fixed LR (192->48), batch 16", ssim))
+    rows.append(("SSIMLoss(mix=0.8, MS), shared per-step noise (192->48), batch 16", ssim))
     # full stacks: on-device Poisson pipeline vs host reference chain
     full = [
         run_parity(
