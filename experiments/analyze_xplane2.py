@@ -21,20 +21,26 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def categorize(name: str) -> str:
-    if name.startswith("%convolution") or "convolution" in name.split("=")[0]:
+    # match on the op's OWN name only — matching the full display string
+    # misclassified every fusion consuming a %copy-done operand as "copy"
+    # (inflated the copy category ~8x on the r3 canonical-step profile)
+    head = name.split("=")[0].lstrip("%").strip()
+    if head.startswith("convolution") or "convolution" in head:
         return "conv"
-    if re.match(r"%(dot|.*dot_fusion)", name):
+    if head.startswith("dot") or "dot_fusion" in head:
         return "dot"
-    if name.startswith("%copy") or "copy-done" in name or "copy-start" in name:
+    if head.startswith("copy") or head.startswith("bitcast"):
         return "copy"
-    if name.startswith("%fusion") or "_fusion" in name.split("=")[0]:
+    if head.startswith("fusion") or "_fusion" in head:
         return "fusion"
-    if name.startswith("%reduce") or "reduce" in name.split("=")[0]:
+    if head.startswith("reduce") or "reduce" in head:
         return "reduce"
-    if name.startswith("%slice") or name.startswith("%dynamic"):
+    if head.startswith("slice") or head.startswith("dynamic"):
         return "slice"
-    if name.startswith("%all-") or name.startswith("%collective"):
+    if head.startswith("all-") or head.startswith("collective"):
         return "collective"
+    if head.startswith("custom-call") or head.startswith("_lambda"):
+        return "custom-call"
     return "other"
 
 

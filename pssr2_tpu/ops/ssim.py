@@ -148,6 +148,14 @@ def _ssim_parts(x, y, data_range, win_size, win_sigma, k):
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
 
+    # Fused Pallas path (TPU): products + VALID blurs + map arithmetic +
+    # reduction in one kernel per scale, band-chunked dots — identical f32
+    # formulation, none of the 5-map HBM traffic (see ops/pallas/ssimfused).
+    from .pallas import ssimfused
+
+    if x.ndim == 4 and ssimfused.auto_ok(x, win_size):
+        return ssimfused.ssim_parts(x, y, float(c1), float(c2), win_size, win_sigma)
+
     # one batched blur for all five moment maps instead of five separate
     # blurs: identical numerics (same matmuls, batched); the composed
     # backward fuses best with a single einsum pair per scale

@@ -1,0 +1,83 @@
+"""Parity tests for the fused Pallas SSIM kernel (ops/pallas/ssimfused)
+against the XLA map path — values and gradients, via the Pallas
+interpreter (CPU).  The real-TPU composition is measured in
+experiments/mxu_probe25.py; numerics are identical by construction
+(same f32 formulation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import importlib
+
+# ops/__init__ re-exports the ssim *function* under the same name, which
+# ``import pssr2_tpu.ops.ssim as m`` would resolve to — load the module
+ssim_mod = importlib.import_module("pssr2_tpu.ops.ssim")
+from pssr2_tpu.ops.pallas import ssimfused
+from pssr2_tpu.util import SSIMLoss
+
+
+@pytest.fixture
+def _interpret_mode():
+    old = ssimfused.MODE
+    ssimfused.MODE = "interpret"
+    yield
+    ssimfused.MODE = old
+
+
+def _rand_pair(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.random(shape, np.float32)),
+        jnp.asarray(rng.random(shape, np.float32)),
+    )
+
+
+@pytest.mark.parametrize("shape", [(2, 1, 64, 64), (2, 3, 33, 47)])
+def test_fused_parts_match_xla(shape, _interpret_mode):
+    x, y = _rand_pair(shape)
+    c1, c2 = 0.01**2, 0.03**2
+    ssimfused.MODE = "off"
+    ref = ssim_mod._ssim_parts(x, y, 1.0, 11, 1.5, (0.01, 0.03))
+    ssimfused.MODE = "interpret"
+    fus = ssim_mod._ssim_parts(x, y, 1.0, 11, 1.5, (0.01, 0.03))
+    for a, b in zip(ref, fus):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_fused_gradients_match_xla(_interpret_mode):
+    x, y = _rand_pair((2, 1, 64, 64), seed=3)
+
+    def loss(a, b):
+        s, cs = ssim_mod._ssim_parts(a, b, 1.0, 11, 1.5, (0.01, 0.03))
+        return s.mean() * 1.3 + cs.mean() * 0.7
+
+    ssimfused.MODE = "off"
+    ref = jax.grad(loss, argnums=(0, 1))(x, y)
+    ssimfused.MODE = "interpret"
+    fus = jax.grad(loss, argnums=(0, 1))(x, y)
+    for a, b in zip(ref, fus):
+        scale = float(jnp.abs(a).max())
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4 * scale)
+
+
+def test_fused_ssim_loss_end_to_end(_interpret_mode):
+    # the canonical training loss through the fused path: value + grad
+    x, y = _rand_pair((2, 1, 192, 192), seed=7)
+    loss_fn = SSIMLoss(mix=0.8, ms=True)
+
+    ssimfused.MODE = "off"
+    v_ref, g_ref = jax.value_and_grad(loss_fn)(x, y)
+    ssimfused.MODE = "interpret"
+    v_fus, g_fus = jax.value_and_grad(loss_fn)(x, y)
+    assert abs(float(v_ref) - float(v_fus)) < 2e-5
+    scale = float(jnp.abs(g_ref).max())
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_fus), atol=1e-4 * scale)
+
+
+def test_auto_gate_off_cpu():
+    # on CPU the auto gate must reject (backend != tpu)
+    x = jnp.zeros((1, 1, 64, 64), jnp.float32)
+    assert ssimfused.MODE == "auto"
+    assert not ssimfused.auto_ok(x, 11)
