@@ -218,6 +218,45 @@ class SwinTransformerBlock(nnx.Module):
         self.norm2 = nnx.LayerNorm(dim, dtype=dtype, rngs=rngs)
         self.mlp = Mlp(dim, int(dim * mlp_ratio), drop, rngs=rngs, dtype=dtype)
 
+    def _fused_params(self):
+        a = self.attn
+        wqkv = a.qkv.kernel.value
+        bqkv = (
+            a.qkv.bias.value
+            if a.qkv.bias is not None
+            else jnp.zeros((wqkv.shape[1],), wqkv.dtype)
+        )
+        return (
+            self.norm1.scale.value, self.norm1.bias.value, wqkv, bqkv,
+            a.proj.kernel.value, a.proj.bias.value,
+            self.norm2.scale.value, self.norm2.bias.value,
+            self.mlp.fc1.kernel.value, self.mlp.fc1.bias.value,
+            self.mlp.fc2.kernel.value, self.mlp.fc2.bias.value,
+            a._bias(self.window_size * self.window_size),
+        )
+
+    def forward_rolled(self, x_img, v_in):
+        """Whole-block fused path (ops/pallas/swinblock): input (B, H, W, C)
+        at roll offset ``v_in``, output at this block's shift offset —
+        shifted windows cost zero extra passes because the roll is absorbed
+        into the kernel's strip assembly.  Caller chains offsets and
+        applies one final roll per BasicLayer."""
+        from ..ops.pallas import swinblock
+
+        s = self.shift_size
+        out = swinblock.fused_swin_block(
+            x_img,
+            self._fused_params(),
+            heads=self.num_heads,
+            scale=self.attn.scale,
+            ws=self.window_size,
+            delta=(s - v_in) % self.window_size,
+            shift=s,
+            mask_hw=(x_img.shape[1], x_img.shape[2]) if s else None,
+            eps=self.norm1.epsilon,
+        )
+        return out, s
+
     def __call__(self, x, x_size):
         h, w = x_size
         b, _, c = x.shape
@@ -306,7 +345,47 @@ class BasicLayer(nnx.Module):
             for i in range(depth)
         ])
 
+    def _fused_chain_ok(self, b, h, w, c):
+        """True when every block can run the whole-block fused kernel and
+        the roll-space chain is well-formed (uniform even window, shifts in
+        {0, ws/2}, no active dropout)."""
+        from ..ops.pallas import swinblock
+
+        sizes = {blk.window_size for blk in self.blocks}
+        if len(sizes) != 1:
+            return False
+        ws = sizes.pop()
+        def inactive(drop):
+            return drop is None or getattr(drop, "deterministic", False)
+
+        for blk in self.blocks:
+            if blk.shift_size not in (0, ws // 2):
+                return False
+            if not (inactive(blk.attn.attn_drop) and inactive(blk.attn.proj_drop)):
+                return False
+            if not (inactive(blk.mlp.drop) and inactive(blk.drop_path.drop)):
+                return False
+        return swinblock.eligible(b, h, w, c, self.blocks[0].num_heads, ws)
+
     def __call__(self, x, x_size):
+        h, w = x_size
+        b, _, c = x.shape
+        if self._fused_chain_ok(b, h, w, c):
+            # whole-block fused chain in roll space: one kernel pass per
+            # block, one XLA roll per layer (ops/pallas/swinblock)
+            x_img = x.reshape(b, h, w, c)
+            v = 0
+            for block in self.blocks:
+                if self.use_checkpoint:
+                    x_img = jax.checkpoint(
+                        lambda t, blk=block, vi=v: blk.forward_rolled(t, vi)[0]
+                    )(x_img)
+                    v = block.shift_size
+                else:
+                    x_img, v = block.forward_rolled(x_img, v)
+            if v:
+                x_img = jnp.roll(x_img, (v, v), axis=(1, 2))
+            return x_img.reshape(b, h * w, c)
         for block in self.blocks:
             if self.use_checkpoint:
                 x = jax.checkpoint(lambda x_, blk=block: blk(x_, x_size))(x)

@@ -1,0 +1,322 @@
+"""Pallas TPU kernel: one FULL Swin transformer block per pass —
+LN1 -> qkv projection -> shifted-window attention -> output projection ->
+residual -> LN2 -> MLP (gelu) -> residual, computed strip-by-strip in VMEM.
+
+Why: at batch-16 SwinIR inference the per-block XLA graph costs
+~3.1 ms/layer of HBM traffic (attention custom-call 1.36, LayerNorm
+reduce-fusions 0.6, qkv/proj/MLP 1x1 convs, residual-add fusions — fixed
+categorizer, experiments/results_r3.md), reading and writing the
+(B, H, W, C) activation ~8x per block.  This kernel reads x once and
+writes the block output once: the 1x1 projections become well-shaped MXU
+matmuls (M = ws*W rows, K = C) and every intermediate (LN stats, qkv,
+attention maps, MLP hidden) lives only in VMEM.
+
+Shifted windows cost ZERO extra passes: blocks chain in "roll space".
+Each kernel consumes its input at vertical/horizontal roll offset
+``v_in`` and produces output at offset ``shift`` (its own shift), so the
+roll is absorbed into strip assembly — the input strip for rolled
+window-row i is built from two 4-row blocks of the v_in-space tensor
+(delta = (shift - v_in) mod ws picks them), and the horizontal roll is an
+in-VMEM column rotation.  The caller applies ONE cheap XLA roll per
+BasicLayer (6 blocks) to return to canonical space.
+
+The shift-attention mask is not materialized: the kernel receives the
+per-window token GROUP LABELS (nW, n) — 65 KB instead of the 4 MB
+(nW, n, n) mask — and rebuilds ``-100 * (g_i != g_j)`` per head in VMEM
+(reference mask construction: swinir.py:310-328).
+
+Numerics mirror the XLA block exactly at bf16-rounding level: LayerNorm
+uses flax's fast-variance f32 stats, dots accumulate f32 and cast to the
+model dtype, softmax is f32 (as in ops/pallas/winattn), gelu is exact
+(erf).  Training: the public wrapper's custom VJP recomputes through the
+XLA reference block (reference: swinir.py:270-389), so autodiff semantics
+match the unfused path.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+# "auto" (TPU + supported shapes), "off", or "interpret" (CPU tests).
+MODE = "auto"
+
+_NEG = -100.0  # mask fill value (reference: swinir.py:326)
+
+# XLA's EmitErfF32 rational approximation (the same coefficients the XLA
+# erf lowering uses; verified to 1 ULP against lax.erf) — Mosaic has no
+# erf/erfc lowering, so exact gelu is built from this in-kernel.
+_ERF_ALPHA = (-2.72614225801306e-10, 2.77068142495902e-08, -2.10102402082508e-06,
+              -5.69250639462346e-05, -7.34990630326855e-04, -2.95459980854025e-03,
+              -1.60960333262415e-02)
+_ERF_BETA = (-1.45660718464996e-05, -2.13374055278905e-04, -1.68282697438203e-03,
+             -7.37332916720468e-03, -1.42647390514189e-02)
+
+
+def _erf_f32(x):
+    xc = jnp.clip(x, -4.0, 4.0)
+    x2 = xc * xc
+
+    def poly(cs):
+        a = jnp.full_like(x2, cs[0])
+        for c_ in cs[1:]:
+            a = a * x2 + c_
+        return a
+
+    return xc * poly(_ERF_ALPHA) / poly(_ERF_BETA)
+
+
+def _gelu_exact(x):
+    """gelu(approximate=False) computed in f32 (1.4e-6 of XLA's erfc
+    formulation; within 1 bf16 ULP of the bf16 unfused path)."""
+    xf = x.astype(jnp.float32)
+    y = 0.5 * xf * (1.0 + _erf_f32(xf * np.float32(np.sqrt(0.5))))
+    return y.astype(x.dtype)
+
+
+def _layernorm(x, scale, bias, eps):
+    """flax nnx.LayerNorm semantics: params promoted to the compute dtype
+    FIRST (nnx keeps them in f32 param_dtype), then f32 fast-variance
+    stats, output cast back to the compute dtype (models/swinir.py
+    norm1/norm2)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
+    mul = jax.lax.rsqrt(var + eps) * scale.astype(x.dtype).astype(jnp.float32)
+    y = (x - mu) * mul + bias.astype(x.dtype).astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _matmul(x, w, b):
+    """nnx.Linear semantics: weights promoted to the compute dtype first,
+    f32 accumulation, output in the compute dtype, bias added post-cast."""
+    y = jax.lax.dot_general(
+        x,
+        w.astype(x.dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return y if b is None else y + b.astype(x.dtype)
+
+
+def _block_kernel(
+    # dynamic operands (refs)
+    xa_ref, xb_ref, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+    ln2_s, ln2_b, wfc1, bfc1, wfc2, bfc2, bias_ref, labels_ref, out_ref,
+    *, heads, d, scale, ws, delta, masked, eps,
+):
+    c = heads * d
+    # -- strip assembly: two 4-row blocks of the v_in-space tensor give the
+    # 8 rolled rows; column rotation completes the horizontal roll
+    xs = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0)  # (ws, W, C)
+    if delta:
+        xs = jnp.concatenate([xs[:, delta:, :], xs[:, :delta, :]], axis=1)
+    w_img = xs.shape[1]
+    k = w_img // ws  # windows in this row
+    n = ws * ws
+
+    shortcut = xs
+    h = _layernorm(xs, ln1_s[...], ln1_b[...], eps)
+    qkv = _matmul(h, wqkv[...], bqkv[...])  # (ws, W, 3C)
+
+    # image rows -> (k, n, 3C) windows (free in VMEM, mxu_probe26)
+    qkv = qkv.reshape(ws, k, ws, 3 * c).transpose(1, 0, 2, 3).reshape(k, n, 3 * c)
+    if masked:
+        g = labels_ref[0]  # (k, n) f32 group labels of this window row
+    outs = []
+    for hh in range(heads):
+        q = qkv[:, :, hh * d : (hh + 1) * d]
+        kk = qkv[:, :, c + hh * d : c + (hh + 1) * d]
+        v = qkv[:, :, 2 * c + hh * d : 2 * c + (hh + 1) * d]
+        s = jax.lax.dot_general(
+            q, kk, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias_ref[hh][None]
+        if masked:
+            s = s + jnp.where(g[:, None, :] != g[:, :, None], _NEG, 0.0)
+        p = jax.nn.softmax(s, axis=-1).astype(qkv.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        outs.append(o.astype(xs.dtype))
+    att = jnp.concatenate(outs, axis=-1)  # (k, n, C)
+    att = att.reshape(k, ws, ws, c).transpose(1, 0, 2, 3).reshape(ws, w_img, c)
+
+    y = shortcut + _matmul(att, wproj[...], bproj[...])
+    h2 = _layernorm(y, ln2_s[...], ln2_b[...], eps)
+    z = _matmul(h2, wfc1[...], bfc1[...])
+    z = _gelu_exact(z)
+    out_ref[0] = y + _matmul(z, wfc2[...], bfc2[...])
+
+
+def _window_group_labels(h, w, window_size, shift_size):
+    """(nHw, nWw, n) group labels of the rolled image — the factored form
+    of the attention mask (mask[w,i,j] = -100*(g[w,i] != g[w,j]);
+    reference: swinir.py:310-328)."""
+    img = np.zeros((h, w))
+    sl = (slice(0, -window_size), slice(-window_size, -shift_size), slice(-shift_size, None))
+    cnt = 0
+    for hs in sl:
+        for ws_ in sl:
+            img[hs, ws_] = cnt
+            cnt += 1
+    lab = img.reshape(h // window_size, window_size, w // window_size, window_size)
+    lab = lab.transpose(0, 2, 1, 3).reshape(h // window_size, w // window_size, window_size**2)
+    return lab.astype(np.float32)
+
+
+def _pallas_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps, interpret):
+    b, h_img, w_img, c = x.shape
+    d = c // heads
+    n = ws * ws
+    nrows = h_img // ws
+    nq = h_img // (ws // 2)  # 4-row strip count
+    half = ws // 2
+    grid = (b, nrows)
+
+    # strip picks: rolled rows [ws*i + delta, ws*i + delta + ws) of the
+    # v_in-space tensor = 4-row strips (2i + delta/half) and (2i + 1 + delta/half)
+    off = delta // half
+    sa = lambda bi, i: (bi, (2 * i + off) % nq, 0, 0)
+    sb = lambda bi, i: (bi, (2 * i + 1 + off) % nq, 0, 0)
+    const = lambda bi, i: tuple(0 for _ in range(2))
+    const1 = lambda bi, i: (0,)
+
+    (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
+     wfc1, bfc1, wfc2, bfc2, bias_rp) = params
+    hidden = wfc1.shape[1]
+
+    masked = mask_hw is not None
+    in_specs = [
+        pl.BlockSpec((1, half, w_img, c), sa),
+        pl.BlockSpec((1, half, w_img, c), sb),
+        pl.BlockSpec((c,), const1),
+        pl.BlockSpec((c,), const1),
+        pl.BlockSpec((c, 3 * c), const),
+        pl.BlockSpec((3 * c,), const1),
+        pl.BlockSpec((c, c), const),
+        pl.BlockSpec((c,), const1),
+        pl.BlockSpec((c,), const1),
+        pl.BlockSpec((c,), const1),
+        pl.BlockSpec((c, hidden), const),
+        pl.BlockSpec((hidden,), const1),
+        pl.BlockSpec((hidden, c), const),
+        pl.BlockSpec((c,), const1),
+        pl.BlockSpec((heads, n, n), lambda bi, i: (0, 0, 0)),
+    ]
+    operands = [x, x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+                ln2_s, ln2_b, wfc1, bfc1, wfc2, bfc2, bias_rp]
+    if masked:
+        labels = _window_group_labels(*mask_hw, ws, shift)  # numpy (nHw, nWw, n)
+        in_specs.append(pl.BlockSpec((1, w_img // ws, n), lambda bi, i: (i, 0, 0)))
+        operands.append(labels)
+    else:
+        # dummy single-block operand so the kernel arity is static
+        in_specs.append(pl.BlockSpec((1, 1, n), lambda bi, i: (0, 0, 0)))
+        operands.append(jnp.zeros((1, 1, n), jnp.float32))
+
+    kernel = functools.partial(
+        _block_kernel, heads=heads, d=d, scale=scale, ws=ws,
+        delta=delta, masked=masked, eps=eps,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, ws, w_img, c), lambda bi, i: (bi, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h_img, w_img, c), x.dtype),
+        interpret=interpret,
+    )(*operands)
+
+
+def reference_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps):
+    """XLA twin of the fused kernel — identical roll-space contract
+    (input at offset v_in, output at offset ``shift``), built from the
+    same formulation the unfused model path uses.  VJP recompute target
+    and CPU parity oracle."""
+    from . import winattn
+
+    (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
+     wfc1, bfc1, wfc2, bfc2, bias_rp) = params
+    if delta:
+        x = jnp.roll(x, (-delta, -delta), axis=(1, 2))
+    shortcut = x
+    eps_ = eps
+
+    def ln(t, s, b_):
+        return _layernorm(t, s, b_, eps_)
+
+    def lin(t, w, b_):
+        return _matmul(t, w, b_)
+
+    h = ln(x, ln1_s, ln1_b)
+    qkv = lin(h, wqkv, bqkv)
+    if mask_hw is None:
+        mask = None
+    else:
+        from ...models.swinir import _shift_attn_mask
+
+        mask = _shift_attn_mask(*mask_hw, ws, shift)
+    att = winattn.reference_window_attention_2d(qkv, bias_rp, mask, scale, heads, ws)
+    y = shortcut + lin(att, wproj, bproj)
+    h2 = ln(y, ln2_s, ln2_b)
+    z = jax.nn.gelu(lin(h2, wfc1, bfc1), approximate=False)
+    return y + lin(z, wfc2, bfc2)
+
+
+@functools.lru_cache(maxsize=64)
+def _fused_fn(heads, scale, ws, delta, shift, mask_hw, eps, interpret):
+    @jax.custom_vjp
+    def block(x, *params):
+        return _pallas_block(
+            x, params, heads=heads, scale=scale, ws=ws, delta=delta,
+            shift=shift, mask_hw=mask_hw, eps=eps, interpret=interpret,
+        )
+
+    def fwd(x, *params):
+        return block(x, *params), (x, params)
+
+    def bwd(res, g):
+        x, params = res
+        _, vjp = jax.vjp(
+            lambda x_, *p: reference_block(
+                x_, p, heads=heads, scale=scale, ws=ws, delta=delta,
+                shift=shift, mask_hw=mask_hw, eps=eps,
+            ),
+            x,
+            *params,
+        )
+        return vjp(g)
+
+    block.defvjp(fwd, bwd)
+    return block
+
+
+def fused_swin_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps):
+    """One full transformer block in roll space: ``x`` (B, H, W, C) at roll
+    offset v_in, returns the block output at roll offset ``shift``
+    (delta = (shift - v_in) mod ws).  ``params`` is the 13-tuple
+    (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b, wfc1, bfc1,
+    wfc2, bfc2, bias_rp); ``mask_hw`` is (H, W) when this block's windows
+    are shift-masked, else None."""
+    fn = _fused_fn(
+        heads, float(scale), ws, int(delta), int(shift), mask_hw, float(eps),
+        MODE == "interpret",
+    )
+    return fn(x, *params)
+
+
+def eligible(b, h_img, w_img, c, heads, ws, backend=None) -> bool:
+    """Fused-block gating: TPU (or interpret mode), ws-aligned even strips,
+    VMEM-sized rows."""
+    if MODE == "off":
+        return False
+    backend = backend or jax.default_backend()
+    if MODE != "interpret" and backend != "tpu":
+        return False
+    if ws % 2 or h_img % ws or w_img % ws or c % heads:
+        return False
+    # per-strip VMEM residency ~ 12 bf16 copies of (ws, W, C) + f32 temps
+    return ws * w_img * c <= 1 << 18

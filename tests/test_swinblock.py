@@ -1,0 +1,108 @@
+"""Whole-block fused SwinIR kernel (ops/pallas/swinblock) parity tests —
+interpret mode on CPU against the XLA reference block and the unfused
+model path (reference semantics: swinir.py:270-389)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pssr2_tpu.models.swinir import SwinIR, _shift_attn_mask
+from pssr2_tpu.ops.pallas import swinblock
+
+HEADS, WS, C, HIDDEN = 6, 8, 96, 192
+N = WS * WS
+SCALE = (C // HEADS) ** -0.5
+
+
+def _params(rng, dtype):
+    mk = lambda *s, sc=0.1: jnp.asarray(rng.standard_normal(s).astype(np.float32) * sc)
+    return (
+        mk(C, sc=0.5) + 1.0, mk(C),
+        mk(C, 3 * C), mk(3 * C),
+        mk(C, C), mk(C),
+        mk(C, sc=0.5) + 1.0, mk(C),
+        mk(C, HIDDEN), mk(HIDDEN),
+        mk(HIDDEN, C), mk(C),
+        jnp.asarray(rng.standard_normal((HEADS, N, N)).astype(np.float32) * 0.02),
+    )
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    old = swinblock.MODE
+    swinblock.MODE = "interpret"
+    yield
+    swinblock.MODE = old
+
+
+@pytest.mark.parametrize(
+    "delta,shift,masked", [(0, 0, False), (4, 4, True), (4, 0, False)]
+)
+def test_kernel_matches_reference_f32(delta, shift, masked):
+    rng = np.random.default_rng(delta * 10 + shift)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, C)).astype(np.float32))
+    params = _params(rng, jnp.float32)
+    kw = dict(heads=HEADS, scale=SCALE, ws=WS, delta=delta, shift=shift,
+              mask_hw=(32, 32) if masked else None, eps=1e-6)
+    out = swinblock.fused_swin_block(x, params, **kw)
+    ref = swinblock.reference_block(x, params, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_kernel_matches_reference_bf16():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, C)), jnp.bfloat16)
+    params = _params(rng, jnp.bfloat16)
+    kw = dict(heads=HEADS, scale=SCALE, ws=WS, delta=4, shift=4, mask_hw=(32, 32), eps=1e-6)
+    out = np.asarray(swinblock.fused_swin_block(x, params, **kw), np.float32)
+    ref = np.asarray(swinblock.reference_block(x, params, **kw), np.float32)
+    # kernel scores are f32 where the XLA einsum path is bf16 — agree to
+    # bf16 rounding of the output scale (same tolerance as winattn)
+    tol = 0.02 * max(1.0, np.abs(ref).max())
+    np.testing.assert_allclose(out, ref, atol=tol)
+
+
+def test_custom_vjp_grad_matches_reference():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, C)).astype(np.float32))
+    params = _params(rng, jnp.float32)
+    kw = dict(heads=HEADS, scale=SCALE, ws=WS, delta=4, shift=4, mask_hw=(16, 16), eps=1e-6)
+    loss_f = lambda x_: jnp.sum(swinblock.fused_swin_block(x_, params, **kw) ** 2)
+    loss_r = lambda x_: jnp.sum(swinblock.reference_block(x_, params, **kw) ** 2)
+    gf, gr = jax.grad(loss_f)(x), jax.grad(loss_r)(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-4)
+
+
+def test_group_labels_factor_the_mask():
+    mask = _shift_attn_mask(32, 32, WS, WS // 2)  # (nW, N, N)
+    lab = swinblock._window_group_labels(32, 32, WS, WS // 2).reshape(-1, N)
+    rebuilt = np.where(lab[:, None, :] != lab[:, :, None], -100.0, 0.0)
+    np.testing.assert_array_equal(rebuilt, mask)
+
+
+@pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
+def test_full_model_chain_matches_unfused(dtype):
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (1, 1, 32, 32)), jnp.float32
+    )
+    model = SwinIR(image_size=32, depths=[2, 2], num_heads=[6, 6], scale=4, dtype=dtype)
+    model.eval()
+    swinblock.MODE = "off"
+    y_off = np.asarray(model(x), np.float32)
+    swinblock.MODE = "interpret"
+    y_on = np.asarray(model(x), np.float32)
+    tol = 2e-4 if dtype is None else 0.01 * np.abs(y_off).max()
+    np.testing.assert_allclose(y_on, y_off, atol=max(tol, 1e-5))
+
+
+def test_train_mode_with_drop_path_keeps_unfused_path(monkeypatch):
+    """drop_path is stochastic in train mode — the fused chain must not
+    engage (it would silently skip stochastic depth)."""
+    model = SwinIR(image_size=32, depths=[2, 2], num_heads=[6, 6], scale=4)
+    model.train()
+    layer = model.layers[0].residual_group
+    assert not layer._fused_chain_ok(1, 32, 32, C)
+    model.eval()
+    swinblock.MODE = "interpret"
+    assert layer._fused_chain_ok(1, 32, 32, C)
