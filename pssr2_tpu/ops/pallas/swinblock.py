@@ -101,30 +101,62 @@ def _matmul(x, w, b):
     return y if b is None else y + b.astype(x.dtype)
 
 
-def _block_kernel(
-    # dynamic operands (refs)
-    xa_ref, xb_ref, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
-    ln2_s, ln2_b, wfc1, bfc1, wfc2, bfc2, bias_ref, labels_ref, out_ref,
-    *, heads, d, scale, ws, delta, masked, eps,
-):
+# Tuning knobs (A/B'd in experiments/mxu_probe28):
+#   ROWS — window-rows per grid step (amortizes per-op issue overhead)
+#   BATCHED_HEADS — all heads in ONE batched dot pair + one softmax
+#     instead of a 6-iteration head loop (the loop's ~60 small ops/step
+#     made the v0 kernel issue-bound at 13.3 us/step, profile_swinir4)
+#   DEFER_NORM — normalize the (n, d) attention OUTPUT instead of the
+#     (n, n) probability map (4x fewer divides, same bf16-rounding class)
+ROWS = 1
+BATCHED_HEADS = True
+DEFER_NORM = False  # measured slightly slower than plain softmax (mxu_probe28)
+# Probe-only ablation knob (experiments/mxu_probe29): "none", "no_mlp",
+# "no_attn" (skip dots+softmax), "no_qkv_attn", "relu" (gelu->relu),
+# "no_ln".  Produces WRONG outputs — time attribution only.
+ABLATE = "none"
+
+
+def _attention(qkv, bias, labels, *, heads, d, scale, masked, dtype):
+    """(k, n, 3C) windows -> (k, n, C) attention output, all in VMEM."""
+    k, n, _ = qkv.shape
     c = heads * d
-    # -- strip assembly: two 4-row blocks of the v_in-space tensor give the
-    # 8 rolled rows; column rotation completes the horizontal roll
-    xs = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0)  # (ws, W, C)
-    if delta:
-        xs = jnp.concatenate([xs[:, delta:, :], xs[:, :delta, :]], axis=1)
-    w_img = xs.shape[1]
-    k = w_img // ws  # windows in this row
-    n = ws * ws
-
-    shortcut = xs
-    h = _layernorm(xs, ln1_s[...], ln1_b[...], eps)
-    qkv = _matmul(h, wqkv[...], bqkv[...])  # (ws, W, 3C)
-
-    # image rows -> (k, n, 3C) windows (free in VMEM, mxu_probe26)
-    qkv = qkv.reshape(ws, k, ws, 3 * c).transpose(1, 0, 2, 3).reshape(k, n, 3 * c)
-    if masked:
-        g = labels_ref[0]  # (k, n) f32 group labels of this window row
+    if BATCHED_HEADS:
+        # one (heads*k)-batched dot pair + one softmax: per-op issue
+        # overhead, not FLOPs, dominates at these shapes (profile_swinir4).
+        # Heads stack along the MAJOR (batch) dim via slice+concat — a
+        # lane-splitting reshape (k,n,C)->(k,n,heads,d) is an unsupported
+        # Mosaic shape cast.
+        q = jnp.concatenate([qkv[:, :, h * d : (h + 1) * d] for h in range(heads)], 0)
+        kk = jnp.concatenate(
+            [qkv[:, :, c + h * d : c + (h + 1) * d] for h in range(heads)], 0
+        )
+        v = jnp.concatenate(
+            [qkv[:, :, 2 * c + h * d : 2 * c + (h + 1) * d] for h in range(heads)], 0
+        )
+        s = jax.lax.dot_general(
+            q, kk, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = s * scale + jnp.broadcast_to(bias[:, None], (heads, k, n, n)).reshape(
+            heads * k, n, n
+        )
+        if masked:
+            m = jnp.where(labels[:, None, :] != labels[:, :, None], _NEG, 0.0)
+            s = s + jnp.broadcast_to(m[None], (heads, k, n, n)).reshape(heads * k, n, n)
+        if DEFER_NORM:
+            e = jnp.exp(s - jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True)))
+            o = jax.lax.dot_general(
+                e.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            o = o * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+        else:
+            p = jax.nn.softmax(s, axis=-1).astype(dtype)
+            o = jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )
+        o = o.astype(dtype)  # (heads*k, n, d)
+        return jnp.concatenate([o[h * k : (h + 1) * k] for h in range(heads)], axis=-1)
     outs = []
     for hh in range(heads):
         q = qkv[:, :, hh * d : (hh + 1) * d]
@@ -133,21 +165,62 @@ def _block_kernel(
         s = jax.lax.dot_general(
             q, kk, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        s = s * scale + bias_ref[hh][None]
+        s = s * scale + bias[hh][None]
         if masked:
-            s = s + jnp.where(g[:, None, :] != g[:, :, None], _NEG, 0.0)
-        p = jax.nn.softmax(s, axis=-1).astype(qkv.dtype)
+            s = s + jnp.where(labels[:, None, :] != labels[:, :, None], _NEG, 0.0)
+        p = jax.nn.softmax(s, axis=-1).astype(dtype)
         o = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        outs.append(o.astype(xs.dtype))
-    att = jnp.concatenate(outs, axis=-1)  # (k, n, C)
-    att = att.reshape(k, ws, ws, c).transpose(1, 0, 2, 3).reshape(ws, w_img, c)
+        outs.append(o.astype(dtype))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _block_kernel(
+    *refs,  # 2*rows x-strips, 13 params, bias, labels, out
+    heads, d, scale, ws, delta, masked, eps, rows,
+):
+    (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
+     wfc1, bfc1, wfc2, bfc2) = refs[2 * rows : 2 * rows + 12]
+    bias_ref, labels_ref, out_ref = refs[-3], refs[-2], refs[-1]
+    c = heads * d
+    # -- strip assembly: 2*rows 4-row blocks of the v_in-space tensor give
+    # the ws*rows rolled rows; column rotation completes the horizontal roll
+    xs = jnp.concatenate([r[0] for r in refs[: 2 * rows]], axis=0)  # (ws*rows, W, C)
+    if delta:
+        xs = jnp.concatenate([xs[:, delta:, :], xs[:, :delta, :]], axis=1)
+    w_img = xs.shape[1]
+    k = w_img // ws  # windows per row
+    n = ws * ws
+
+    shortcut = xs
+    h = xs if ABLATE == "no_ln" else _layernorm(xs, ln1_s[...], ln1_b[...], eps)
+    if ABLATE == "no_qkv_attn":
+        att = h
+    else:
+        qkv = _matmul(h, wqkv[...], bqkv[...])  # (ws*rows, W, 3C)
+
+        # image rows -> (rows*k, n, 3C) windows (free in VMEM, mxu_probe26)
+        qkv = qkv.reshape(rows, ws, k, ws, 3 * c).transpose(0, 2, 1, 3, 4)
+        qkv = qkv.reshape(rows * k, n, 3 * c)
+        if ABLATE == "no_attn":
+            att = qkv[:, :, 2 * c : 3 * c]
+        else:
+            labels = labels_ref[...].reshape(rows * k, n) if masked else None
+            att = _attention(
+                qkv, bias_ref[...], labels, heads=heads, d=d, scale=scale,
+                masked=masked, dtype=xs.dtype,
+            )
+        att = att.reshape(rows, k, ws, ws, c).transpose(0, 2, 1, 3, 4)
+        att = att.reshape(rows * ws, w_img, c)
 
     y = shortcut + _matmul(att, wproj[...], bproj[...])
-    h2 = _layernorm(y, ln2_s[...], ln2_b[...], eps)
+    if ABLATE == "no_mlp":
+        out_ref[0] = y
+        return
+    h2 = y if ABLATE == "no_ln" else _layernorm(y, ln2_s[...], ln2_b[...], eps)
     z = _matmul(h2, wfc1[...], bfc1[...])
-    z = _gelu_exact(z)
+    z = jnp.maximum(z, 0) if ABLATE == "relu" else _gelu_exact(z)
     out_ref[0] = y + _matmul(z, wfc2[...], bfc2[...])
 
 
@@ -172,15 +245,14 @@ def _pallas_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps, in
     d = c // heads
     n = ws * ws
     nrows = h_img // ws
+    rows = ROWS if nrows % ROWS == 0 else 1  # window-rows per grid step
     nq = h_img // (ws // 2)  # 4-row strip count
     half = ws // 2
-    grid = (b, nrows)
+    grid = (b, nrows // rows)
 
-    # strip picks: rolled rows [ws*i + delta, ws*i + delta + ws) of the
-    # v_in-space tensor = 4-row strips (2i + delta/half) and (2i + 1 + delta/half)
+    # strip picks: rolled rows [rows*ws*i + delta, +rows*ws) of the
+    # v_in-space tensor = 4-row strips 2*rows*i + j + delta/half (mod nq)
     off = delta // half
-    sa = lambda bi, i: (bi, (2 * i + off) % nq, 0, 0)
-    sb = lambda bi, i: (bi, (2 * i + 1 + off) % nq, 0, 0)
     const = lambda bi, i: tuple(0 for _ in range(2))
     const1 = lambda bi, i: (0,)
 
@@ -190,8 +262,12 @@ def _pallas_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps, in
 
     masked = mask_hw is not None
     in_specs = [
-        pl.BlockSpec((1, half, w_img, c), sa),
-        pl.BlockSpec((1, half, w_img, c), sb),
+        pl.BlockSpec(
+            (1, half, w_img, c),
+            lambda bi, i, jj=j: (bi, (2 * rows * i + jj + off) % nq, 0, 0),
+        )
+        for j in range(2 * rows)
+    ] + [
         pl.BlockSpec((c,), const1),
         pl.BlockSpec((c,), const1),
         pl.BlockSpec((c, 3 * c), const),
@@ -206,11 +282,13 @@ def _pallas_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps, in
         pl.BlockSpec((c,), const1),
         pl.BlockSpec((heads, n, n), lambda bi, i: (0, 0, 0)),
     ]
-    operands = [x, x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
-                ln2_s, ln2_b, wfc1, bfc1, wfc2, bfc2, bias_rp]
+    operands = [x] * (2 * rows) + [ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+                                   ln2_s, ln2_b, wfc1, bfc1, wfc2, bfc2, bias_rp]
     if masked:
         labels = _window_group_labels(*mask_hw, ws, shift)  # numpy (nHw, nWw, n)
-        in_specs.append(pl.BlockSpec((1, w_img // ws, n), lambda bi, i: (i, 0, 0)))
+        in_specs.append(
+            pl.BlockSpec((rows, w_img // ws, n), lambda bi, i: (i, 0, 0))
+        )
         operands.append(labels)
     else:
         # dummy single-block operand so the kernel arity is static
@@ -219,13 +297,13 @@ def _pallas_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps, in
 
     kernel = functools.partial(
         _block_kernel, heads=heads, d=d, scale=scale, ws=ws,
-        delta=delta, masked=masked, eps=eps,
+        delta=delta, masked=masked, eps=eps, rows=rows,
     )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, ws, w_img, c), lambda bi, i: (bi, i, 0, 0)),
+        out_specs=pl.BlockSpec((1, rows * ws, w_img, c), lambda bi, i: (bi, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h_img, w_img, c), x.dtype),
         interpret=interpret,
     )(*operands)
