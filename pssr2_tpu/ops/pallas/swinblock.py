@@ -25,12 +25,15 @@ per-window token GROUP LABELS (nW, n) — 65 KB instead of the 4 MB
 (nW, n, n) mask — and rebuilds ``-100 * (g_i != g_j)`` per head in VMEM
 (reference mask construction: swinir.py:310-328).
 
-Numerics mirror the XLA block exactly at bf16-rounding level: LayerNorm
-uses flax's fast-variance f32 stats, dots accumulate f32 and cast to the
-model dtype, softmax is f32 (as in ops/pallas/winattn), gelu is exact
-(erf).  Training: the public wrapper's custom VJP recomputes through the
-XLA reference block (reference: swinir.py:270-389), so autodiff semantics
-match the unfused path.
+Numerics mirror the XLA block at bf16-rounding level: LayerNorm uses
+flax's fast-variance f32 stats, dots accumulate f32 and cast to the model
+dtype, softmax is f32 (no-max form by default — see NOMAX_SOFTMAX), gelu
+is the exact erf rational for f32 and a polynomial within the
+activation-rounding class for bf16 (see FAST_GELU / _gelu_fast; measured
+end-to-end deviation 5.7e-3 rel on the bf16 model, the same class as bf16
+itself — mxu_probe30).  Training: the public wrapper's custom VJP
+recomputes through the XLA reference block (reference: swinir.py:270-389),
+so autodiff semantics match the unfused path.
 """
 
 import functools
@@ -76,6 +79,31 @@ def _gelu_exact(x):
     return y.astype(x.dtype)
 
 
+# gelu(x) = 0.5x + x^2 S(x^2) on [-4, 4]: odd |x|-weighted Chebyshev LSQ
+# of (Phi(x)-0.5)/x.  |err| <= max(2.6e-4 abs, 0.5% rel) — within the
+# bf16 activation-rounding noise class (bf16 itself rounds at 0.39% rel),
+# measured 5.7e-3 end-to-end rel deviation on the full bf16 model, the
+# same class as plain bf16 (mxu_probe30).  12 VPU ops, no divide (the erf
+# rational costs ~20 ops + a divide — probe29 measured exact gelu at
+# 7.4 ms of the 92 ms batch-16 step).
+_GELU_S = (0.398714550644521, -0.0659565049580834, 0.009545222431626374,
+           -0.0010175056451836898, 7.648234117739626e-05,
+           -3.7887493429360835e-06, 1.0968829398043447e-07,
+           -1.3937041721878255e-09)
+
+
+def _gelu_fast(x):
+    xf = x.astype(jnp.float32)
+    xc = jnp.clip(xf, -4.0, 4.0)
+    u = xc * xc
+    acc = jnp.full_like(u, _GELU_S[-1])
+    for c_ in _GELU_S[-2::-1]:
+        acc = acc * u + c_
+    y = 0.5 * xc + u * acc
+    y = jnp.where(xf > 4.0, xf, jnp.where(xf < -4.0, 0.0, y))
+    return y.astype(x.dtype)
+
+
 def _layernorm(x, scale, bias, eps):
     """flax nnx.LayerNorm semantics: params promoted to the compute dtype
     FIRST (nnx keeps them in f32 param_dtype), then f32 fast-variance
@@ -108,19 +136,80 @@ def _matmul(x, w, b):
 #     made the v0 kernel issue-bound at 13.3 us/step, profile_swinir4)
 #   DEFER_NORM — normalize the (n, d) attention OUTPUT instead of the
 #     (n, n) probability map (4x fewer divides, same bf16-rounding class)
-ROWS = 1
+# Defaults = the measured-winning combination (experiments/mxu_probe30:
+# batch-16 bf16 SwinIR inference 87.4 -> 70.9 ms; each knob also wins
+# alone).  ROWS=2 halves the per-grid-step issue overhead and fits VMEM
+# once TRANSPOSED_HEADS removes the d=16 lane padding.
+ROWS = 2
 BATCHED_HEADS = True
 DEFER_NORM = False  # measured slightly slower than plain softmax (mxu_probe28)
+# FAST_GELU: "auto" = polynomial gelu for bf16 compute dtype (within the
+# bf16 activation-rounding class, see _gelu_fast), exact erf rational for
+# f32.  True/False force.
+FAST_GELU = "auto"
+# TRANSPOSED_HEADS: stack heads as (heads*k, d, n) instead of (heads*k, n, d)
+# — d=16 on the LANE dim pads 8x (3x 3.1 MB VMEM per strip, the ROWS=2 OOM);
+# putting n=64 on lanes pads only 2x.  Scores/output dots re-expressed on
+# the transposed operands; output is BIT-IDENTICAL to the untransposed
+# kernel (mxu_probe30 rel_dev 0).
+TRANSPOSED_HEADS = True
+# NOMAX_SOFTMAX: softmax without the max-subtraction pass (f32 exp is safe
+# for logits < 88; trained SwinIR attention logits are O(10), and the
+# shift mask's -100 only underflows exp to 0, which IS the masking).  A
+# violation produces a visible NaN, never silent corruption, and the
+# backward pass (reference_block recompute) always uses the guarded
+# softmax.  Set False to restore the max-subtracted form.
+NOMAX_SOFTMAX = True
 # Probe-only ablation knob (experiments/mxu_probe29): "none", "no_mlp",
 # "no_attn" (skip dots+softmax), "no_qkv_attn", "relu" (gelu->relu),
 # "no_ln".  Produces WRONG outputs — time attribution only.
 ABLATE = "none"
 
 
+def _knobs():
+    return (ROWS, BATCHED_HEADS, DEFER_NORM, FAST_GELU, TRANSPOSED_HEADS,
+            NOMAX_SOFTMAX, ABLATE)
+
+
+def _softmax_f32(s):
+    if NOMAX_SOFTMAX:
+        e = jnp.exp(s)
+        return e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+    return jax.nn.softmax(s, axis=-1)
+
+
 def _attention(qkv, bias, labels, *, heads, d, scale, masked, dtype):
     """(k, n, 3C) windows -> (k, n, C) attention output, all in VMEM."""
     k, n, _ = qkv.shape
     c = heads * d
+    if BATCHED_HEADS and TRANSPOSED_HEADS:
+        # (k, n, 3C) -> (k, 3C, n): ONE transpose of the big tensor, then
+        # head slicing runs on SUBLANES and q/k/v live as (heads*k, d, n)
+        # — n=64 lane-pads 2x instead of d=16 lane-padding 8x.
+        qkvT = jnp.swapaxes(qkv, 1, 2)
+        qT = jnp.concatenate([qkvT[:, h * d : (h + 1) * d, :] for h in range(heads)], 0)
+        kT = jnp.concatenate(
+            [qkvT[:, c + h * d : c + (h + 1) * d, :] for h in range(heads)], 0
+        )
+        vT = jnp.concatenate(
+            [qkvT[:, 2 * c + h * d : 2 * c + (h + 1) * d, :] for h in range(heads)], 0
+        )
+        s = jax.lax.dot_general(
+            qT, kT, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (heads*k, n, n)
+        s = s * scale + jnp.broadcast_to(bias[:, None], (heads, k, n, n)).reshape(
+            heads * k, n, n
+        )
+        if masked:
+            m = jnp.where(labels[:, None, :] != labels[:, :, None], _NEG, 0.0)
+            s = s + jnp.broadcast_to(m[None], (heads, k, n, n)).reshape(heads * k, n, n)
+        p = _softmax_f32(s).astype(dtype)
+        # o^T[b, d, i] = sum_j v^T[b, d, j] p[b, i, j]
+        oT = jax.lax.dot_general(
+            vT, p, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ).astype(dtype)  # (heads*k, d, n)
+        attT = jnp.concatenate([oT[h * k : (h + 1) * k] for h in range(heads)], axis=1)
+        return jnp.swapaxes(attT, 1, 2)  # (k, n, C)
     if BATCHED_HEADS:
         # one (heads*k)-batched dot pair + one softmax: per-op issue
         # overhead, not FLOPs, dominates at these shapes (profile_swinir4).
@@ -151,7 +240,7 @@ def _attention(qkv, bias, labels, *, heads, d, scale, masked, dtype):
             )
             o = o * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
         else:
-            p = jax.nn.softmax(s, axis=-1).astype(dtype)
+            p = _softmax_f32(s).astype(dtype)
             o = jax.lax.dot_general(
                 p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
             )
@@ -168,7 +257,7 @@ def _attention(qkv, bias, labels, *, heads, d, scale, masked, dtype):
         s = s * scale + bias[hh][None]
         if masked:
             s = s + jnp.where(labels[:, None, :] != labels[:, :, None], _NEG, 0.0)
-        p = jax.nn.softmax(s, axis=-1).astype(dtype)
+        p = _softmax_f32(s).astype(dtype)
         o = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
@@ -220,7 +309,11 @@ def _block_kernel(
         return
     h2 = y if ABLATE == "no_ln" else _layernorm(y, ln2_s[...], ln2_b[...], eps)
     z = _matmul(h2, wfc1[...], bfc1[...])
-    z = jnp.maximum(z, 0) if ABLATE == "relu" else _gelu_exact(z)
+    fast = FAST_GELU is True or (FAST_GELU == "auto" and z.dtype == jnp.bfloat16)
+    if ABLATE == "relu":
+        z = jnp.maximum(z, 0)
+    else:
+        z = _gelu_fast(z) if fast else _gelu_exact(z)
     out_ref[0] = y + _matmul(z, wfc2[...], bfc2[...])
 
 
@@ -245,7 +338,13 @@ def _pallas_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps, in
     d = c // heads
     n = ws * ws
     nrows = h_img // ws
-    rows = ROWS if nrows % ROWS == 0 else 1  # window-rows per grid step
+    # window-rows per grid step: the largest configured count that divides
+    # the image and keeps the strip inside the ROWS=1-calibrated VMEM bound
+    rows = 1
+    for cand in range(ROWS, 1, -1):
+        if nrows % cand == 0 and cand * ws * w_img * c <= 1 << 18:
+            rows = cand
+            break
     nq = h_img // (ws // 2)  # 4-row strip count
     half = ws // 2
     grid = (b, nrows // rows)
@@ -345,7 +444,8 @@ def reference_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps):
 
 
 @functools.lru_cache(maxsize=64)
-def _fused_fn(heads, scale, ws, delta, shift, mask_hw, eps, interpret):
+def _fused_fn(heads, scale, ws, delta, shift, mask_hw, eps, interpret, knobs):
+    del knobs  # cache-key only: the kernel body reads the module knobs at trace time
     @jax.custom_vjp
     def block(x, *params):
         return _pallas_block(
@@ -381,7 +481,7 @@ def fused_swin_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps)
     are shift-masked, else None."""
     fn = _fused_fn(
         heads, float(scale), ws, int(delta), int(shift), mask_hw, float(eps),
-        MODE == "interpret",
+        MODE == "interpret", _knobs(),
     )
     return fn(x, *params)
 

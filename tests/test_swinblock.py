@@ -74,6 +74,58 @@ def test_custom_vjp_grad_matches_reference():
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("knob", ["TRANSPOSED_HEADS", "NOMAX_SOFTMAX"])
+def test_perf_knobs_match_reference(knob):
+    """The round-3 perf knobs (head-transposed q/k/v layout, no-max
+    softmax) must stay in the same numeric class as the plain kernel."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, C)).astype(np.float32))
+    params = _params(rng, jnp.float32)
+    kw = dict(heads=HEADS, scale=SCALE, ws=WS, delta=4, shift=4,
+              mask_hw=(16, 16), eps=1e-6)
+    ref = np.asarray(swinblock.reference_block(x, params, **kw))
+    old = getattr(swinblock, knob)
+    try:
+        setattr(swinblock, knob, True)
+        out = np.asarray(swinblock.fused_swin_block(x, params, **kw))
+    finally:
+        setattr(swinblock, knob, old)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_fast_gelu_accuracy():
+    """_gelu_fast vs exact gelu: |err| <= max(2.6e-4 abs, 0.5% rel)
+    everywhere — the abs term covers the |y| <~ 0.07 band (peaking in the
+    ~1e-4 dead zone near x = -4), the rel term everywhere else.  The bf16
+    activation rounding itself is 0.39% rel, so the approximation stays in
+    the activation-rounding noise class.  Positive tail exact (y = x,
+    x > 4)."""
+    x = jnp.asarray(np.linspace(-20, 20, 40001, dtype=np.float32))
+    fast = np.asarray(swinblock._gelu_fast(x), np.float32)
+    exact = np.asarray(jax.nn.gelu(x, approximate=False), np.float32)
+    assert np.all(np.abs(fast - exact) <= np.maximum(2.6e-4, 5e-3 * np.abs(exact)))
+    # bf16 activations: one more rounding on each side
+    xb = x.astype(jnp.bfloat16)
+    fb = np.asarray(swinblock._gelu_fast(xb), np.float32)
+    eb = np.asarray(jax.nn.gelu(xb, approximate=False), np.float32)
+    assert np.all(np.abs(fb - eb) <= np.maximum(5e-4, 1.6e-2 * np.abs(eb)))
+
+
+def test_knobs_key_the_fused_fn_cache():
+    """Flipping a module knob must produce a distinct cached trace — a
+    stale cache would silently keep the old kernel configuration."""
+    kw = (HEADS, SCALE, WS, 0, 0, None, 1e-6, True)
+    f0 = swinblock._fused_fn(*kw, swinblock._knobs())
+    old = swinblock.TRANSPOSED_HEADS
+    try:
+        swinblock.TRANSPOSED_HEADS = not old
+        f1 = swinblock._fused_fn(*kw, swinblock._knobs())
+    finally:
+        swinblock.TRANSPOSED_HEADS = old
+    assert f0 is not f1
+    assert swinblock._fused_fn(*kw, swinblock._knobs()) is f0
+
+
 def test_group_labels_factor_the_mask():
     mask = _shift_attn_mask(32, 32, WS, WS // 2)  # (nW, N, N)
     lab = swinblock._window_group_labels(32, 32, WS, WS // 2).reshape(-1, N)
