@@ -160,6 +160,10 @@ TRANSPOSED_HEADS = True
 # backward pass (reference_block recompute) always uses the guarded
 # softmax.  Set False to restore the max-subtracted form.
 NOMAX_SOFTMAX = True
+# Minimum batch * window-rows for the fused path (see eligible()): below
+# this the per-block fixed cost beats the fusion win (batch-1 measured 4x
+# slower fused; batch-16 1.4x faster — swinir_bench_r3 / mxu_probe32).
+MIN_GRID_ROWS = 64
 # Probe-only ablation knob (experiments/mxu_probe29): "none", "no_mlp",
 # "no_attn" (skip dots+softmax), "no_qkv_attn", "relu" (gelu->relu),
 # "no_ln".  Produces WRONG outputs — time attribution only.
@@ -488,13 +492,19 @@ def fused_swin_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps)
 
 def eligible(b, h_img, w_img, c, heads, ws, backend=None) -> bool:
     """Fused-block gating: TPU (or interpret mode), ws-aligned even strips,
-    VMEM-sized rows."""
+    VMEM-sized rows, and enough grid steps to amortize the kernel's
+    per-block fixed cost — at batch 1 the fused path measured 4x SLOWER
+    than the per-op winattn path (36.3 vs ~8.5 ms, swinir_bench_r3), at
+    batch 16 it is 1.4x faster; gate at batch*window-rows >= 64 (the
+    measured-winning batch-16 x 128px shape has 256)."""
     if MODE == "off":
         return False
     backend = backend or jax.default_backend()
     if MODE != "interpret" and backend != "tpu":
         return False
     if ws % 2 or h_img % ws or w_img % ws or c % heads:
+        return False
+    if MODE != "interpret" and b * (h_img // ws) < MIN_GRID_ROWS:
         return False
     # per-strip VMEM residency ~ 12 bf16 copies of (ws, W, C) + f32 temps
     return ws * w_img * c <= 1 << 18
