@@ -164,6 +164,11 @@ NOMAX_SOFTMAX = True
 # this the per-block fixed cost beats the fusion win (batch-1 measured 4x
 # slower fused; batch-16 1.4x faster — swinir_bench_r3 / mxu_probe32).
 MIN_GRID_ROWS = 64
+# FOLD_QK_SCALE: fold the attention scale into the q-columns of W_qkv /
+# b_qkv at the (traced, differentiable) wrapper level — removes the
+# s * scale VPU pass over the full score tensor, the largest tensor the
+# kernel touches.  (x @ (s W_q)) vs s (x @ W_q): same rounding class.
+FOLD_QK_SCALE = True
 # Probe-only ablation knob (experiments/mxu_probe29): "none", "no_mlp",
 # "no_attn" (skip dots+softmax), "no_qkv_attn", "relu" (gelu->relu),
 # "no_ln".  Produces WRONG outputs — time attribution only.
@@ -172,7 +177,7 @@ ABLATE = "none"
 
 def _knobs():
     return (ROWS, BATCHED_HEADS, DEFER_NORM, FAST_GELU, TRANSPOSED_HEADS,
-            NOMAX_SOFTMAX, ABLATE)
+            NOMAX_SOFTMAX, FOLD_QK_SCALE, ABLATE)
 
 
 def _softmax_f32(s):
@@ -201,17 +206,33 @@ def _attention(qkv, bias, labels, *, heads, d, scale, masked, dtype):
         s = jax.lax.dot_general(
             qT, kT, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # (heads*k, n, n)
-        s = s * scale + jnp.broadcast_to(bias[:, None], (heads, k, n, n)).reshape(
+        if scale != 1.0:  # folded into W_q when FOLD_QK_SCALE (static)
+            s = s * scale
+        s = s + jnp.broadcast_to(bias[:, None], (heads, k, n, n)).reshape(
             heads * k, n, n
         )
         if masked:
             m = jnp.where(labels[:, None, :] != labels[:, :, None], _NEG, 0.0)
             s = s + jnp.broadcast_to(m[None], (heads, k, n, n)).reshape(heads * k, n, n)
-        p = _softmax_f32(s).astype(dtype)
-        # o^T[b, d, i] = sum_j v^T[b, d, j] p[b, i, j]
-        oT = jax.lax.dot_general(
-            vT, p, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ).astype(dtype)  # (heads*k, d, n)
+        if DEFER_NORM:
+            # normalize the (d, n) output instead of the (n, n) map: the
+            # divide pass runs on a 4x smaller tensor (n=64, d=16)
+            if NOMAX_SOFTMAX:
+                e = jnp.exp(s)
+            else:
+                e = jnp.exp(s - jax.lax.stop_gradient(jnp.max(s, -1, keepdims=True)))
+            inv = 1.0 / jnp.sum(e, axis=-1)  # (heads*k, n)
+            oT = jax.lax.dot_general(
+                vT, e.astype(dtype), (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (heads*k, d, n)
+            oT = (oT * inv[:, None, :]).astype(dtype)
+        else:
+            p = _softmax_f32(s).astype(dtype)
+            # o^T[b, d, i] = sum_j v^T[b, d, j] p[b, i, j]
+            oT = jax.lax.dot_general(
+                vT, p, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            ).astype(dtype)  # (heads*k, d, n)
         attT = jnp.concatenate([oT[h * k : (h + 1) * k] for h in range(heads)], axis=1)
         return jnp.swapaxes(attT, 1, 2)  # (k, n, C)
     if BATCHED_HEADS:
@@ -230,7 +251,9 @@ def _attention(qkv, bias, labels, *, heads, d, scale, masked, dtype):
         s = jax.lax.dot_general(
             q, kk, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        s = s * scale + jnp.broadcast_to(bias[:, None], (heads, k, n, n)).reshape(
+        if scale != 1.0:
+            s = s * scale
+        s = s + jnp.broadcast_to(bias[:, None], (heads, k, n, n)).reshape(
             heads * k, n, n
         )
         if masked:
@@ -258,7 +281,7 @@ def _attention(qkv, bias, labels, *, heads, d, scale, masked, dtype):
         s = jax.lax.dot_general(
             q, kk, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        s = s * scale + bias[hh][None]
+        s = (s * scale if scale != 1.0 else s) + bias[hh][None]
         if masked:
             s = s + jnp.where(labels[:, None, :] != labels[:, :, None], _NEG, 0.0)
         p = _softmax_f32(s).astype(dtype)
@@ -483,8 +506,19 @@ def fused_swin_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps)
     (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b, wfc1, bfc1,
     wfc2, bfc2, bias_rp); ``mask_hw`` is (H, W) when this block's windows
     are shift-masked, else None."""
+    scale = float(scale)
+    if FOLD_QK_SCALE:
+        # differentiable trace-level fold: scale the q-columns of W_qkv and
+        # b_qkv, run the kernel (and its reference-recompute bwd) at scale 1
+        (ln1_s, ln1_b, wqkv, bqkv, *rest) = params
+        c = wqkv.shape[0]
+        colscale = jnp.concatenate(
+            [jnp.full((c,), scale, wqkv.dtype), jnp.ones((2 * c,), wqkv.dtype)]
+        )
+        params = (ln1_s, ln1_b, wqkv * colscale, bqkv * colscale, *rest)
+        scale = 1.0
     fn = _fused_fn(
-        heads, float(scale), ws, int(delta), int(shift), mask_hw, float(eps),
+        heads, scale, ws, int(delta), int(shift), mask_hw, float(eps),
         MODE == "interpret", _knobs(),
     )
     return fn(x, *params)

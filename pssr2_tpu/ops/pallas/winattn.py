@@ -25,6 +25,14 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+# "auto" (TPU + supported shapes + batch gate), "off" (XLA einsum path).
+MODE = "auto"
+# Minimum image batch for the Pallas window-attention paths: at batch 1
+# the XLA einsum path runs the whole model in ~8.5 ms while the kernel
+# paths take 36-42 ms (per-block fixed costs; mxu_probe32/33) — the
+# kernels only win once the grid is deep enough.
+MIN_BATCH = 8
+
 
 def _pick_chunk(n_windows: int, n_mask_windows) -> int:
     # G=16 measured best at bench shapes (experiments/mxu_probe23: 3.79 ms
@@ -271,11 +279,15 @@ def fused_window_attention_2d(qkv_img, bias, mask_spec, scale, heads, ws, interp
 
 
 def eligible_2d(b, h_img, w_img, c, heads, ws, backend=None) -> bool:
+    if MODE == "off":
+        return False
     backend = backend or jax.default_backend()
     if backend != "tpu":
         return False
     if h_img % ws or w_img % ws or c % heads:
         return False
+    if b * (h_img // ws) * (w_img // ws) < MIN_BATCH * 256:
+        return False  # batch gate (see MIN_BATCH; 256 windows per 128px tile)
     n = ws * ws
     return n % 8 == 0
 
@@ -321,10 +333,14 @@ def fused_window_attention(qkv, bias, mask_spec, scale, heads, interpret=False):
 
 def eligible(w, n, c, heads, mask_windows, backend=None) -> bool:
     """Fused-path gating: TPU (or interpret), aligned shapes, lane-friendly
-    token count, chunk divisibility."""
+    token count, chunk divisibility, batch gate (total windows)."""
+    if MODE == "off":
+        return False
     backend = backend or jax.default_backend()
     if backend != "tpu":
         return False
+    if w < MIN_BATCH * 256:
+        return False  # batch gate (see MIN_BATCH; 256 windows per 128px tile)
     if n % 8 != 0 or c % heads != 0:
         return False
     g = _pick_chunk(w, mask_windows)
