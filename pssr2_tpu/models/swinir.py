@@ -123,6 +123,14 @@ class WindowAttention(nnx.Module):
         self.proj = _linear(dim, dim, rngs=rngs, dtype=dtype)
         self.attn_drop = nnx.Dropout(attn_drop, rngs=rngs) if attn_drop > 0 else None
         self.proj_drop = nnx.Dropout(proj_drop, rngs=rngs) if proj_drop > 0 else None
+        # Toggled by model.train()/model.eval() (nnx.set_attributes).  The
+        # fused Pallas attention/block kernels are inference-only: their
+        # custom VJP recomputes the full reference XLA forward, so taking
+        # them under training pays kernel fwd + XLA fwd + XLA bwd — strictly
+        # slower than the plain XLA path, which stores its intermediates.
+        # Gating on eval also keeps training numerics exactly the XLA
+        # reference math (the kernels are bf16-rounding-class equivalent).
+        self.deterministic = False
 
     def _bias(self, n):
         idx = _relative_position_index(*self.window_size).reshape(-1)
@@ -154,7 +162,7 @@ class WindowAttention(nnx.Module):
         from ..ops.pallas import winattn
 
         nw = None if mask is None else mask.shape[0]
-        if self.attn_drop is None and winattn.eligible(b_, n, c, self.num_heads, nw):
+        if self.deterministic and self.attn_drop is None and winattn.eligible(b_, n, c, self.num_heads, nw):
             # Fused Pallas path: softmax(qk+bias[+mask])v per window in
             # VMEM — the XLA lowering materializes the (W,h,n,n) maps in
             # HBM and relayouts qkv per block (~57 ms/step of copies at
@@ -272,7 +280,7 @@ class SwinTransformerBlock(nnx.Module):
 
         mask = _shift_attn_mask(h, w, self.window_size, self.shift_size)
         mask_spec = (h, w, self.window_size, self.shift_size)
-        if self.attn.attn_drop is None and winattn.eligible_2d(
+        if self.attn.deterministic and self.attn.attn_drop is None and winattn.eligible_2d(
             b, h, w, c, self.num_heads, self.window_size
         ):
             # image-layout fused attention: windows consumed in place
@@ -348,9 +356,14 @@ class BasicLayer(nnx.Module):
     def _fused_chain_ok(self, b, h, w, c):
         """True when every block can run the whole-block fused kernel and
         the roll-space chain is well-formed (uniform even window, shifts in
-        {0, ws/2}, no active dropout)."""
+        {0, ws/2}, eval mode, no active dropout).  Training always takes
+        the reference XLA blocks: the fused kernels' VJP recomputes the
+        XLA forward, so under grad they cost kernel fwd + XLA fwd + XLA
+        bwd (see WindowAttention.deterministic)."""
         from ..ops.pallas import swinblock
 
+        if not all(blk.attn.deterministic for blk in self.blocks):
+            return False
         sizes = {blk.window_size for blk in self.blocks}
         if len(sizes) != 1:
             return False

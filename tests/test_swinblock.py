@@ -158,3 +158,21 @@ def test_train_mode_with_drop_path_keeps_unfused_path(monkeypatch):
     model.eval()
     swinblock.MODE = "interpret"
     assert layer._fused_chain_ok(1, 32, 32, C)
+
+
+def test_train_mode_gates_fused_paths_even_without_dropout():
+    """The fused kernels are inference-only (their VJP recomputes the XLA
+    forward, so training through them pays kernel fwd + XLA fwd + XLA
+    bwd).  With every drop rate 0 the gate must still hold in train mode
+    via the eval-toggled ``deterministic`` flag."""
+    model = SwinIR(
+        image_size=32, depths=[2, 2], num_heads=[6, 6], scale=4, drop_path_rate=0.0
+    )
+    swinblock.MODE = "interpret"
+    layer = model.layers[0].residual_group
+    model.train()
+    assert not layer.blocks[0].attn.deterministic
+    assert not layer._fused_chain_ok(1, 32, 32, C)
+    model.eval()
+    assert layer.blocks[0].attn.deterministic
+    assert layer._fused_chain_ok(1, 32, 32, C)
