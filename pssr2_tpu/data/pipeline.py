@@ -78,11 +78,15 @@ def make_device_gen_pair(lr_scale: int, crappifier, n_frames=None, augment: bool
         return out
 
     def gen_pair(key, hr_u8):
-        hr = hr_u8.astype(jnp.float32)
-        b = hr.shape[0]
+        b = hr_u8.shape[0]
         if augment:
+            # Augment in uint8: rot90/flip are pure permutations, so they
+            # commute with astype bit-exactly — and the vmapped cond/switch
+            # materializes every branch, so doing it pre-convert moves 4x
+            # fewer bytes (the profiled "f32 NCHW 512^2 boundary" copies).
             k_aug, key = jax.random.split(key)
-            hr = jax.vmap(device_augment)(jax.random.split(k_aug, b), hr)
+            hr_u8 = jax.vmap(device_augment)(jax.random.split(k_aug, b), hr_u8)
+        hr = hr_u8.astype(jnp.float32)
 
         lr_res = hr.shape[-1] // lr_scale
         lr = resize_bilinear(hr, lr_res, lr_res)

