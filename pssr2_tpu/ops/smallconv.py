@@ -44,6 +44,12 @@ from jax import lax
 Z_MODE = "dense"
 Z_BARRIER = True
 Z_BARRIER_POS = "pre"  # "pre" = before the 7-D reshape, "post" = after
+# Phase-resolve formulation: "slices" = nine shifted slice-adds over the
+# phase-extended view (_phase_resolve); "conv" = the SAME linear map as a
+# single 3x3 conv with a 0/1 selection kernel (3, 3, s^2*9*Cout, s^2*Cout)
+# — one MXU pass with the halo handled by the conv emitter, no extended
+# tensors materialized.  Identical terms, conv-order f32 accumulation.
+Z_RESOLVE = "slices"
 
 
 def phase_major_perm(channels: int, scale: int) -> np.ndarray:
@@ -119,6 +125,42 @@ def _phase_resolve(z, s):
     return _phase_resolve_fn(s, z.dtype.name)(z)
 
 
+@functools.lru_cache(maxsize=8)
+def _resolve_kernel_np(s: int, cout: int):
+    """0/1 selection kernel (3, 3, s^2*9*cout, s^2*cout) expressing the
+    phase resolve as a 3x3 SAME conv: output phase (dr, dc) tap (u, v)
+    reads input phase ((dr+u-1) mod s, (dc+v-1) mod s) at LR offset
+    ((dr+u-1) // s, (dc+v-1) // s) — identical terms to _phase_resolve,
+    f32 MXU accumulation instead of nine extended-view slice-adds."""
+    k = np.zeros((3, 3, s * s * 9 * cout, s * s * cout), np.float32)
+    for dr in range(s):
+        for dc in range(s):
+            for u in range(3):
+                for v in range(3):
+                    ar, ac = dr + u - 1, dc + v - 1
+                    rr, rho = ar // s, ar % s
+                    cc, sig = ac // s, ac % s
+                    ci = ((rho * s + sig) * 9 + 3 * u + v) * cout
+                    co = (dr * s + dc) * cout
+                    for o in range(cout):
+                        k[rr + 1, cc + 1, ci + o, co + o] = 1.0
+    return k
+
+
+def _phase_resolve_conv(z_flat, s, cout):
+    """Conv-form phase resolve on the FLAT dense z (B, H, W, s^2*9*cout):
+    one 3x3 conv, f32 accumulation, halo handled by the conv emitter.
+    Returns (B, H, W, s, s, cout) f32, matching :func:`_phase_resolve`."""
+    k = jnp.asarray(_resolve_kernel_np(s, cout), z_flat.dtype)
+    out = lax.conv_general_dilated(
+        z_flat, k, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    b, h, w, _ = z_flat.shape
+    return out.reshape(b, h, w, s, s, cout)
+
+
 def shuffle_conv_small(y_pm, kernel, bias=None, *, scale: int):
     """``conv3x3(pixel_shuffle(y, scale), kernel) + bias`` where ``y_pm``
     holds the PRE-shuffle activations in phase-major channel order
@@ -163,11 +205,13 @@ def shuffle_conv_small(y_pm, kernel, bias=None, *, scale: int):
         z = lax.dot_general(y_pm.reshape(B, H, W, s * s, C), wt, (((4,), (0,)), ((), ())))
     if Z_BARRIER and Z_BARRIER_POS == "pre":
         z = lax.optimization_barrier(z)
-    z = z.reshape(B, H, W, s, s, 9, Cout)
-    if Z_BARRIER and Z_BARRIER_POS == "post":
-        z = lax.optimization_barrier(z)
-
-    out = _phase_resolve(z, s)  # f32 (B,H,W,s,s,Cout)
+    if Z_RESOLVE == "conv" and z.shape[-1] == s * s * 9 * Cout:
+        out = _phase_resolve_conv(z, s, Cout)  # f32 (B,H,W,s,s,Cout)
+    else:
+        z = z.reshape(B, H, W, s, s, 9, Cout)
+        if Z_BARRIER and Z_BARRIER_POS == "post":
+            z = lax.optimization_barrier(z)
+        out = _phase_resolve(z, s)  # f32 (B,H,W,s,s,Cout)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
 

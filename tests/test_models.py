@@ -323,3 +323,32 @@ def test_sgbias_conv_semantics():
     blk.eval()
     ge = bias_grads(nnx.grad(blk_loss)(blk, x))
     assert any(v > 0.0 for k, v in ge.items() if "'convs'" in k)
+
+
+def test_phase_resolve_conv_form_matches_slices(monkeypatch):
+    """Z_RESOLVE="conv" expresses the phase resolve as one 3x3 selection
+    conv — identical terms to the slice-add form, conv-order f32
+    accumulation, so values/grads must match to fp-reassociation level."""
+    import jax
+    import jax.numpy as jnp
+
+    from pssr2_tpu.ops import smallconv as sc
+
+    rng = np.random.default_rng(3)
+    for s, B, H, W, C, Cout in [(4, 2, 8, 8, 5, 1), (2, 1, 6, 7, 3, 2), (4, 1, 5, 6, 2, 3)]:
+        y_pm = jnp.asarray(rng.random((B, H, W, s * s * C), np.float32))
+        k = jnp.asarray(rng.random((3, 3, C, Cout), np.float32) - 0.5)
+        b = jnp.asarray(rng.random((Cout,), np.float32))
+
+        def run(y_pm, k, b):
+            return sc.shuffle_conv_small(y_pm, k, b, scale=s)
+
+        monkeypatch.setattr(sc, "Z_RESOLVE", "slices")
+        ref = np.asarray(run(y_pm, k, b))
+        g_ref = jax.grad(lambda *a: jnp.sum(jnp.sin(run(*a))), argnums=(0, 1, 2))(y_pm, k, b)
+        monkeypatch.setattr(sc, "Z_RESOLVE", "conv")
+        got = np.asarray(run(y_pm, k, b))
+        g_got = jax.grad(lambda *a: jnp.sum(jnp.sin(run(*a))), argnums=(0, 1, 2))(y_pm, k, b)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+        for a, e in zip(g_got, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-4, atol=1e-5)
