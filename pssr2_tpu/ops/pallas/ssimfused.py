@@ -135,6 +135,41 @@ def _moments(x, y, gh, gw, h, w, win):
     return mu1, mu2, xx_b, yy_b, xy_b
 
 
+def _pool_matrix(size: int) -> np.ndarray:
+    """(size/2, size) matrix with two 0.5 entries per row: P @ x @ P^T is
+    the 2x2 mean pool, matching ops/ssim._avg_pool2 on even dims to
+    fp-reassociation level (the 0.5 scalings are exact; only the 4-term
+    add association differs from XLA's two-axis reduce)."""
+    p = np.zeros((size // 2, size), np.float32)
+    idx = np.arange(size // 2)
+    p[idx, 2 * idx] = 0.5
+    p[idx, 2 * idx + 1] = 0.5
+    return p
+
+
+def _pool2(m, ph, pw):
+    t = jax.lax.dot_general(
+        ph, m, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=DOT_PRECISION,
+    )
+    return jax.lax.dot_general(
+        t, pw, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=DOT_PRECISION,
+    )
+
+
+def _pool2_t(g, ph, pw):
+    """Transpose of :func:`_pool2`: (h/2, w/2) -> (h, w)."""
+    t = jax.lax.dot_general(
+        ph, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=DOT_PRECISION,
+    )
+    return jax.lax.dot_general(
+        t, pw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=DOT_PRECISION,
+    )
+
+
 def _fwd_kernel(x_ref, y_ref, gh_ref, gw_ref, s_ref, cs_ref, *, c1, c2, win, h, w):
     x = x_ref[0]
     y = y_ref[0]
@@ -186,6 +221,176 @@ def _bwd_kernel(
     t4 = _blur2_t(2 * da2, gh, gw, h, w, win)
     gx_ref[0] = t1 + 2 * x * t3 + y * t4
     gy_ref[0] = t2 + 2 * y * t3 + x * t4
+
+
+def _fwd_pool_kernel(
+    x_ref, y_ref, gh_ref, gw_ref, ph_ref, pw_ref, s_ref, cs_ref, xp_ref, yp_ref,
+    *, c1, c2, win, h, w
+):
+    """Single-scale fwd + the 2x2 mean pool feeding the next MS level,
+    computed in VMEM (saves the XLA pool's extra read+write pass)."""
+    x = x_ref[0]
+    y = y_ref[0]
+    gh = gh_ref[...]
+    gw = gw_ref[...]
+    mu1, mu2, xx_b, yy_b, xy_b = _moments(x, y, gh, gw, h, w, win)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    cs_map = (2 * (xy_b - mu1_mu2) + c2) / ((xx_b - mu1_sq) + (yy_b - mu2_sq) + c2)
+    ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
+    s_ref[...] = jnp.broadcast_to(jnp.sum(ssim_map)[None, None, None], s_ref.shape)
+    cs_ref[...] = jnp.broadcast_to(jnp.sum(cs_map)[None, None, None], cs_ref.shape)
+    ph = ph_ref[...]
+    pw = pw_ref[...]
+    xp_ref[0] = _pool2(x, ph, pw)
+    yp_ref[0] = _pool2(y, ph, pw)
+
+
+def _bwd_pool_kernel(
+    x_ref, y_ref, gh_ref, gw_ref, ph_ref, pw_ref, gs_ref, gcs_ref, gxp_ref, gyp_ref,
+    gx_ref, gy_ref, *, c1, c2, win, h, w
+):
+    """Transpose of :func:`_fwd_pool_kernel`: the single-scale gradient
+    chain plus the unpooled cotangents from the next level."""
+    x = x_ref[0]
+    y = y_ref[0]
+    gh = gh_ref[...]
+    gw = gw_ref[...]
+    inv_n = 1.0 / float((h - win + 1) * (w - win + 1))
+    gs = gs_ref[0, 0, 0] * inv_n
+    gcs = gcs_ref[0, 0, 0] * inv_n
+    mu1, mu2, xx_b, yy_b, xy_b = _moments(x, y, gh, gw, h, w, win)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    a1 = 2 * mu1_mu2 + c1
+    b1 = mu1_sq + mu2_sq + c1
+    a2 = 2 * (xy_b - mu1_mu2) + c2
+    b2 = (xx_b - mu1_sq) + (yy_b - mu2_sq) + c2
+    r = a1 / b1
+    s = a2 / b2
+    t = gs * r + gcs
+    da1 = gs * s / b1
+    db1 = -da1 * r
+    da2 = t / b2
+    db2 = -da2 * s
+    u = da1 - da2
+    v = db1 - db2
+    g_mu1 = 2 * (mu2 * u + mu1 * v)
+    g_mu2 = 2 * (mu1 * u + mu2 * v)
+    t1 = _blur2_t(g_mu1, gh, gw, h, w, win)
+    t2 = _blur2_t(g_mu2, gh, gw, h, w, win)
+    t3 = _blur2_t(db2, gh, gw, h, w, win)
+    t4 = _blur2_t(2 * da2, gh, gw, h, w, win)
+    ph = ph_ref[...]
+    pw = pw_ref[...]
+    gx_ref[0] = t1 + 2 * x * t3 + y * t4 + _pool2_t(gxp_ref[0], ph, pw)
+    gy_ref[0] = t2 + 2 * y * t3 + x * t4 + _pool2_t(gyp_ref[0], ph, pw)
+
+
+@functools.lru_cache(maxsize=64)
+def _fused_pool_fn(c1, c2, win_size, win_sigma, h, w, interpret):
+    """(s_mean, cs_mean, x_pooled, y_pooled) for one MS-SSIM level — the
+    pooled tensors feed the next level, so autodiff chains the per-level
+    custom VJPs without any graph-level pool ops."""
+    gh = _band_matrix(h, win_size, win_sigma)
+    gw = gh if w == h else _band_matrix(w, win_size, win_sigma)
+    ph = _pool_matrix(h)
+    pw = ph if w == h else _pool_matrix(w)
+    hp, wp = h - win_size + 1, w - win_size + 1
+    inv_n = 1.0 / (hp * wp)
+
+    @jax.custom_vjp
+    def parts(x, y):
+        n = x.shape[0]
+        s_sum, cs_sum, xp, yp = pl.pallas_call(
+            functools.partial(_fwd_pool_kernel, c1=c1, c2=c2, win=win_size, h=h, w=w),
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((h, hp), lambda i: (0, 0)),
+                pl.BlockSpec((w, wp), lambda i: (0, 0)),
+                pl.BlockSpec((h // 2, h), lambda i: (0, 0)),
+                pl.BlockSpec((w // 2, w), lambda i: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h // 2, w // 2), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h // 2, w // 2), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n, h // 2, w // 2), jnp.float32),
+                jax.ShapeDtypeStruct((n, h // 2, w // 2), jnp.float32),
+            ],
+            interpret=interpret,
+        )(x, y, gh, gw, ph, pw)
+        return s_sum[:, 0, 0] * inv_n, cs_sum[:, 0, 0] * inv_n, xp, yp
+
+    def fwd(x, y):
+        return parts(x, y), (x, y)
+
+    def bwd(res, g):
+        x, y = res
+        g_s, g_cs, g_xp, g_yp = g
+        n = x.shape[0]
+        gx, gy = pl.pallas_call(
+            functools.partial(_bwd_pool_kernel, c1=c1, c2=c2, win=win_size, h=h, w=w),
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((h, hp), lambda i: (0, 0)),
+                pl.BlockSpec((w, wp), lambda i: (0, 0)),
+                pl.BlockSpec((h // 2, h), lambda i: (0, 0)),
+                pl.BlockSpec((w // 2, w), lambda i: (0, 0)),
+                pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h // 2, w // 2), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h // 2, w // 2), lambda i: (i, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+                jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            x,
+            y,
+            gh,
+            gw,
+            ph,
+            pw,
+            jnp.broadcast_to(g_s.astype(jnp.float32)[:, None, None], (n, 8, 128)),
+            jnp.broadcast_to(g_cs.astype(jnp.float32)[:, None, None], (n, 8, 128)),
+            g_xp.astype(jnp.float32),
+            g_yp.astype(jnp.float32),
+        )
+        return gx, gy
+
+    parts.defvjp(fwd, bwd)
+    return parts
+
+
+def fused_ssim_parts_pool(x, y, c1, c2, win_size, win_sigma, interpret=False):
+    """One MS-SSIM level: (ssim_pc, cs_pc, x_pooled, y_pooled) for NCHW
+    f32 batches with even H/W — the pool runs inside the kernel (torch
+    pool semantics on even dims, ops/ssim._avg_pool2)."""
+    b, c, h, w = x.shape
+    fn = _fused_pool_fn(float(c1), float(c2), int(win_size), float(win_sigma), h, w, interpret)
+    xs = x.reshape(b * c, h, w).astype(jnp.float32)
+    ys = y.reshape(b * c, h, w).astype(jnp.float32)
+    s, cs, xp, yp = fn(xs, ys)
+    return (
+        s.reshape(b, c),
+        cs.reshape(b, c),
+        xp.reshape(b, c, h // 2, w // 2),
+        yp.reshape(b, c, h // 2, w // 2),
+    )
 
 
 @functools.lru_cache(maxsize=64)

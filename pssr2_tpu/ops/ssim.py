@@ -218,9 +218,33 @@ def ms_ssim(
             f"with win_size={win_size}; needs > {(win_size - 1) * 2 ** (levels - 1)}."
         )
 
+    # Fused per-level kernels with the 2x2 pool computed in VMEM (saves
+    # the XLA pool's full extra read+write pass per level; pool matches
+    # _avg_pool2 to fp-reassociation level — ops/pallas/ssimfused
+    # ._pool_matrix).  Odd dims at any level fall back to the generic
+    # path (torch pads odd dims).
+    from .pallas import ssimfused
+
+    fused_chain = (
+        x.ndim == 4
+        and ssimfused.auto_ok(x, win_size)
+        and x.shape[-2] % (1 << (levels - 1)) == 0
+        and x.shape[-1] % (1 << (levels - 1)) == 0
+    )
+
+    k1, k2 = k
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
     mcs = []
     ssim_per_channel = None
     for i in range(levels):
+        if fused_chain and i < levels - 1:
+            ssim_per_channel, cs, x, y = ssimfused.fused_ssim_parts_pool(
+                x, y, float(c1), float(c2), win_size, win_sigma,
+                interpret=ssimfused.MODE == "interpret",
+            )
+            mcs.append(jax.nn.relu(cs))
+            continue
         ssim_per_channel, cs = _ssim_parts(x, y, data_range, win_size, win_sigma, k)
         if i < levels - 1:
             mcs.append(jax.nn.relu(cs))

@@ -81,3 +81,49 @@ def test_auto_gate_off_cpu():
     x = jnp.zeros((1, 1, 64, 64), jnp.float32)
     assert ssimfused.MODE == "auto"
     assert not ssimfused.auto_ok(x, 11)
+
+
+def test_fused_pool_level_matches_xla(_interpret_mode):
+    """One MS level through fused_ssim_parts_pool: s/cs, the pooled
+    tensors (bit-identical to _avg_pool2 on even dims), and gradients
+    flowing through BOTH the stats and the pooled outputs."""
+    from pssr2_tpu.ops.ssim import _avg_pool2, _ssim_parts
+
+    x, y = _rand_pair((2, 1, 64, 96), seed=11)
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+
+    s, cs, xp, yp = ssimfused.fused_ssim_parts_pool(x, y, c1, c2, 11, 1.5, interpret=True)
+    # fp-reassociation level only: the in-kernel pool's 4-term add
+    # association differs from XLA's two-axis reduce
+    np.testing.assert_allclose(np.asarray(xp), np.asarray(_avg_pool2(x)), rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(_avg_pool2(y)), rtol=2e-6, atol=2e-6)
+    ssimfused.MODE = "off"
+    s_ref, cs_ref = _ssim_parts(x, y, 255.0, 11, 1.5, (0.01, 0.03))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(cs), np.asarray(cs_ref), atol=2e-6)
+
+    def loss_fused(x, y):
+        s, cs, xp, yp = ssimfused.fused_ssim_parts_pool(x, y, c1, c2, 11, 1.5, interpret=True)
+        return s.sum() + 0.5 * cs.sum() + (xp * yp).sum() * 1e-3
+
+    def loss_ref(x, y):
+        s, cs = _ssim_parts(x, y, 255.0, 11, 1.5, (0.01, 0.03))
+        return s.sum() + 0.5 * cs.sum() + (_avg_pool2(x) * _avg_pool2(y)).sum() * 1e-3
+
+    g_fus = jax.grad(loss_fused, argnums=(0, 1))(x, y)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(x, y)
+    for a, b in zip(g_fus, g_ref):
+        scale = float(jnp.abs(b).max())
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4 * scale)
+
+
+def test_ms_fused_chain_odd_dims_falls_back(_interpret_mode):
+    """Dims not divisible by 2^(levels-1) must take the generic path (the
+    torch pool pads odd dims) and still match MODE=off exactly."""
+    from pssr2_tpu.ops.ssim import ms_ssim
+
+    x, y = _rand_pair((1, 1, 200, 200), seed=3)  # 200 % 16 != 0
+    v_fus = float(ms_ssim(x, y))
+    ssimfused.MODE = "off"
+    v_ref = float(ms_ssim(x, y))
+    assert abs(v_fus - v_ref) < 2e-6
