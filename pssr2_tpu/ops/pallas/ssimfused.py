@@ -126,6 +126,65 @@ def _blur2_t(d, gh, gw, h, w, win):
     return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
 
 
+def _band_matrix_same(size: int, win: int, sigma: float) -> np.ndarray:
+    """(size, size) SAME-pad correlation band: B[i, j] = g[j - i + pad],
+    equal to zero-pad-then-VALID blur (util.SSIMLoss._l1_windowed).  The
+    Gaussian is symmetric, so B^T == B exactly (borders just clip the
+    band), and the L1 blur transpose reuses the same matrix."""
+    from ..ssim import _gaussian_window
+
+    g = _gaussian_window(win, sigma).reshape(-1)
+    pad = (win - 1) // 2
+    b = np.zeros((size, size), np.float32)
+    for i in range(size):
+        lo = max(0, i - pad)
+        hi = min(size, i + pad + 1)
+        b[i, lo:hi] = g[lo - i + pad : hi - i + pad]
+    return b
+
+
+def _band_chunks_same(size: int, win: int):
+    """Chunk plan for the SAME band matmul: out rows [a, a+ol) read in
+    rows [a - pad, a + ol + pad) clipped."""
+    pad = (win - 1) // 2
+    plan = []
+    a = 0
+    while a < size:
+        ol = min(_CHUNK, size - a)
+        i0 = max(0, a - pad)
+        i1 = min(size, a + ol + pad)
+        plan.append((a, ol, i0, i1 - i0))
+        a += ol
+    return tuple(plan)
+
+
+def _blur2_same(m, bh, bw, h, w, win):
+    """SAME-size separable blur of an (h, w) map via band-chunked dots
+    (both axes keep their size; B^T == B so this is also the transpose)."""
+    rows = []
+    for oa, ol, ia, il in _band_chunks_same(h, win):
+        bh_c = jax.lax.slice(bh, (oa, ia), (oa + ol, ia + il))
+        m_c = jax.lax.slice(m, (ia, 0), (ia + il, w))
+        rows.append(
+            jax.lax.dot_general(
+                bh_c, m_c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=DOT_PRECISION,
+            )
+        )
+    t = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    cols = []
+    for oa, ol, ia, il in _band_chunks_same(w, win):
+        bw_c = jax.lax.slice(bw, (oa, ia), (oa + ol, ia + il))
+        t_c = jax.lax.slice(t, (0, ia), (h, ia + il))
+        cols.append(
+            jax.lax.dot_general(
+                t_c, bw_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=DOT_PRECISION,
+            )
+        )
+    return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+
+
 def _moments(x, y, gh, gw, h, w, win):
     mu1 = _blur2(x, gh, gw, h, w, win)
     mu2 = _blur2(y, gh, gw, h, w, win)
@@ -283,6 +342,213 @@ def _bwd_pool_kernel(
     pw = pw_ref[...]
     gx_ref[0] = t1 + 2 * x * t3 + y * t4 + _pool2_t(gxp_ref[0], ph, pw)
     gy_ref[0] = t2 + 2 * y * t3 + x * t4 + _pool2_t(gyp_ref[0], ph, pw)
+
+
+def _fwd_l0_kernel(
+    x_ref, y_ref, gh_ref, gw_ref, bh_ref, bw_ref, ph_ref, pw_ref,
+    s_ref, cs_ref, l1_ref, xp_ref, yp_ref, *, c1, c2, win, h, w, prescale
+):
+    """MS level 0 of the canonical mixed loss in one pass: prescale
+    (the train loop's /IMAGE_RANGE), single-scale SSIM stats, the
+    Gaussian-windowed L1 map sum (util.SSIMLoss._l1_windowed), and the
+    2x2 pool feeding level 1."""
+    x = x_ref[0] * prescale
+    y = y_ref[0] * prescale
+    gh = gh_ref[...]
+    gw = gw_ref[...]
+    mu1, mu2, xx_b, yy_b, xy_b = _moments(x, y, gh, gw, h, w, win)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    cs_map = (2 * (xy_b - mu1_mu2) + c2) / ((xx_b - mu1_sq) + (yy_b - mu2_sq) + c2)
+    ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
+    s_ref[...] = jnp.broadcast_to(jnp.sum(ssim_map)[None, None, None], s_ref.shape)
+    cs_ref[...] = jnp.broadcast_to(jnp.sum(cs_map)[None, None, None], cs_ref.shape)
+    l1b = _blur2_same(jnp.abs(x - y), bh_ref[...], bw_ref[...], h, w, win)
+    l1_ref[...] = jnp.broadcast_to(jnp.sum(l1b)[None, None, None], l1_ref.shape)
+    ph = ph_ref[...]
+    pw = pw_ref[...]
+    xp_ref[0] = _pool2(x, ph, pw)
+    yp_ref[0] = _pool2(y, ph, pw)
+
+
+def _bwd_l0_kernel(
+    x_ref, y_ref, gh_ref, gw_ref, bh_ref, bw_ref, ph_ref, pw_ref,
+    gs_ref, gcs_ref, gl1_ref, gxp_ref, gyp_ref, gx_ref, gy_ref,
+    *, c1, c2, win, h, w, prescale
+):
+    x = x_ref[0] * prescale
+    y = y_ref[0] * prescale
+    gh = gh_ref[...]
+    gw = gw_ref[...]
+    inv_n = 1.0 / float((h - win + 1) * (w - win + 1))
+    gs = gs_ref[0, 0, 0] * inv_n
+    gcs = gcs_ref[0, 0, 0] * inv_n
+    mu1, mu2, xx_b, yy_b, xy_b = _moments(x, y, gh, gw, h, w, win)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    a1 = 2 * mu1_mu2 + c1
+    b1 = mu1_sq + mu2_sq + c1
+    a2 = 2 * (xy_b - mu1_mu2) + c2
+    b2 = (xx_b - mu1_sq) + (yy_b - mu2_sq) + c2
+    r = a1 / b1
+    s = a2 / b2
+    t = gs * r + gcs
+    da1 = gs * s / b1
+    db1 = -da1 * r
+    da2 = t / b2
+    db2 = -da2 * s
+    u = da1 - da2
+    v = db1 - db2
+    g_mu1 = 2 * (mu2 * u + mu1 * v)
+    g_mu2 = 2 * (mu1 * u + mu2 * v)
+    t1 = _blur2_t(g_mu1, gh, gw, h, w, win)
+    t2 = _blur2_t(g_mu2, gh, gw, h, w, win)
+    t3 = _blur2_t(db2, gh, gw, h, w, win)
+    t4 = _blur2_t(2 * da2, gh, gw, h, w, win)
+    # L1: d(sum(Bh |x-y| Bw^T))/d|x-y| = rowsums(Bh) (x) rowsums(Bw),
+    # then the abs chain (sign(0) = 0, matching jnp.abs autodiff)
+    bh = bh_ref[...]
+    bw = bw_ref[...]
+    gl1 = gl1_ref[0, 0, 0] / float(h * w)
+    gmap = (gl1 * jnp.sum(bh, axis=0))[:, None] * jnp.sum(bw, axis=0)[None, :]
+    l1g = gmap * jnp.sign(x - y)
+    ph = ph_ref[...]
+    pw = pw_ref[...]
+    pgx = _pool2_t(gxp_ref[0], ph, pw)
+    pgy = _pool2_t(gyp_ref[0], ph, pw)
+    gx_ref[0] = (t1 + 2 * x * t3 + y * t4 + l1g + pgx) * prescale
+    gy_ref[0] = (t2 + 2 * y * t3 + x * t4 - l1g + pgy) * prescale
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_l0_fn(c1, c2, win_size, win_sigma, h, w, prescale, interpret):
+    """custom_vjp for the level-0 mixed-loss kernel: (x_raw, y_raw) ->
+    (ssim_mean, cs_mean, l1_mean, x_pooled, y_pooled), all in the
+    prescaled domain; the pooled tensors feed level 1."""
+    gh = _band_matrix(h, win_size, win_sigma)
+    gw = gh if w == h else _band_matrix(w, win_size, win_sigma)
+    bh = _band_matrix_same(h, win_size, win_sigma)
+    bw = bh if w == h else _band_matrix_same(w, win_size, win_sigma)
+    ph = _pool_matrix(h)
+    pw = ph if w == h else _pool_matrix(w)
+    hp, wp = h - win_size + 1, w - win_size + 1
+    inv_n = 1.0 / (hp * wp)
+
+    @jax.custom_vjp
+    def parts(x, y):
+        n = x.shape[0]
+        s_sum, cs_sum, l1_sum, xp, yp = pl.pallas_call(
+            functools.partial(
+                _fwd_l0_kernel, c1=c1, c2=c2, win=win_size, h=h, w=w, prescale=prescale
+            ),
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((h, hp), lambda i: (0, 0)),
+                pl.BlockSpec((w, wp), lambda i: (0, 0)),
+                pl.BlockSpec((h, h), lambda i: (0, 0)),
+                pl.BlockSpec((w, w), lambda i: (0, 0)),
+                pl.BlockSpec((h // 2, h), lambda i: (0, 0)),
+                pl.BlockSpec((w // 2, w), lambda i: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h // 2, w // 2), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h // 2, w // 2), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n, h // 2, w // 2), jnp.float32),
+                jax.ShapeDtypeStruct((n, h // 2, w // 2), jnp.float32),
+            ],
+            interpret=interpret,
+        )(x, y, gh, gw, bh, bw, ph, pw)
+        return (
+            s_sum[:, 0, 0] * inv_n,
+            cs_sum[:, 0, 0] * inv_n,
+            l1_sum[:, 0, 0] / (h * w),
+            xp,
+            yp,
+        )
+
+    def fwd(x, y):
+        return parts(x, y), (x, y)
+
+    def bwd(res, g):
+        x, y = res
+        g_s, g_cs, g_l1, g_xp, g_yp = g
+        n = x.shape[0]
+        gx, gy = pl.pallas_call(
+            functools.partial(
+                _bwd_l0_kernel, c1=c1, c2=c2, win=win_size, h=h, w=w, prescale=prescale
+            ),
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((h, hp), lambda i: (0, 0)),
+                pl.BlockSpec((w, wp), lambda i: (0, 0)),
+                pl.BlockSpec((h, h), lambda i: (0, 0)),
+                pl.BlockSpec((w, w), lambda i: (0, 0)),
+                pl.BlockSpec((h // 2, h), lambda i: (0, 0)),
+                pl.BlockSpec((w // 2, w), lambda i: (0, 0)),
+                pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h // 2, w // 2), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h // 2, w // 2), lambda i: (i, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+                jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            x,
+            y,
+            gh,
+            gw,
+            bh,
+            bw,
+            ph,
+            pw,
+            jnp.broadcast_to(g_s.astype(jnp.float32)[:, None, None], (n, 8, 128)),
+            jnp.broadcast_to(g_cs.astype(jnp.float32)[:, None, None], (n, 8, 128)),
+            jnp.broadcast_to(g_l1.astype(jnp.float32)[:, None, None], (n, 8, 128)),
+            g_xp.astype(jnp.float32),
+            g_yp.astype(jnp.float32),
+        )
+        return gx, gy
+
+    parts.defvjp(fwd, bwd)
+    return parts
+
+
+def fused_level0_parts(x, y, c1, c2, win_size, win_sigma, prescale=1.0, interpret=False):
+    """Level 0 of the canonical mixed MS-SSIM+L1 loss for NCHW f32
+    batches: (ssim_pc, cs_pc, l1_pc, x_pooled, y_pooled), computed on
+    ``x * prescale`` without materializing the scaled tensors."""
+    b, c, h, w = x.shape
+    fn = _fused_l0_fn(
+        float(c1), float(c2), int(win_size), float(win_sigma), h, w, float(prescale), interpret
+    )
+    xs = x.reshape(b * c, h, w).astype(jnp.float32)
+    ys = y.reshape(b * c, h, w).astype(jnp.float32)
+    s, cs, l1, xp, yp = fn(xs, ys)
+    return (
+        s.reshape(b, c),
+        cs.reshape(b, c),
+        l1.reshape(b, c),
+        xp.reshape(b, c, h // 2, w // 2),
+        yp.reshape(b, c, h // 2, w // 2),
+    )
 
 
 @functools.lru_cache(maxsize=64)

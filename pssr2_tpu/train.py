@@ -58,6 +58,17 @@ def _replicate_module_state(mesh, *nodes):
         nnx.update(node, jax.device_put(state, replicated_sharding(mesh)))
 
 
+def _loss_scaled(loss_fn, hr_hat, hr):
+    """``loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE)``, folding the
+    division into the loss's fused kernels when it exposes a ``scaled``
+    hook (util.SSIMLoss) — custom losses keep the plain divided path
+    (reference semantics: pssr/train.py:75-76)."""
+    fn = getattr(loss_fn, "scaled", None)
+    if fn is not None:
+        return fn(hr_hat, hr, 1.0 / IMAGE_RANGE)
+    return loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE)
+
+
 def _build_paired_steps(loss_fn, clamp, gen_pair):
     """Jitted train/val steps. ``gen_pair(key, batch, augment)`` is the
     on-device degradation (None = batches arrive as ready (hr, lr) pairs)."""
@@ -74,7 +85,7 @@ def _build_paired_steps(loss_fn, clamp, gen_pair):
         if clamp:
             hr_hat = jnp.clip(hr_hat, 0, IMAGE_RANGE)
         if extra is None:
-            loss = loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE)
+            loss = _loss_scaled(loss_fn, hr_hat, hr)
         else:
             loss = loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE, extra / IMAGE_RANGE)
         return loss, hr_hat
@@ -123,7 +134,7 @@ def _build_multi_train_step(loss_fn, clamp, gen_pair):
         if clamp:
             hr_hat = jnp.clip(hr_hat, 0, IMAGE_RANGE)
         if extra is None:
-            return loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE)
+            return _loss_scaled(loss_fn, hr_hat, hr)
         return loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE, extra / IMAGE_RANGE)
 
     def _one(model, optimizer, batch, extra, step_key):

@@ -95,8 +95,72 @@ class SSIMLoss:
             return input.astype(self.dtype), target.astype(self.dtype)
         return input, target
 
+    def _fused_mix_loss(self, input, target, prescale, size_average):
+        """The whole mixed loss through the fused kernel chain (level 0
+        computes prescale + SSIM + windowed L1 + pool in ONE pass —
+        ops/pallas/ssimfused.fused_level0_parts), or None when the
+        configuration falls outside the kernels' envelope."""
+        from .ops.pallas import ssimfused
+        from .ops.ssim import _MS_WEIGHTS
+
+        if not self.ms or self.dtype is not None:
+            return None
+        if input.ndim != 4 or input.dtype != jnp.float32 or input.shape != target.shape:
+            return None
+        if set(self.kwargs) - {"weights", "k"}:
+            return None
+        weights = np.asarray(self.kwargs.get("weights", _MS_WEIGHTS), np.float32)
+        levels = len(weights)
+        k1, k2 = self.kwargs.get("k", (0.01, 0.03))
+        c1, c2 = float(k1) ** 2, float(k2) ** 2  # data_range == 1 (as _ssim_val)
+        h, w = input.shape[-2:]
+        if h % (1 << (levels - 1)) or w % (1 << (levels - 1)):
+            return None  # odd pool dims somewhere in the chain (torch pads)
+        if min(h, w) <= (self.win_size - 1) * 2 ** (levels - 1):
+            return None
+        if not ssimfused.auto_ok(input, self.win_size):
+            return None
+
+        interp = ssimfused.MODE == "interpret"
+        s, cs, l1m, x, y = ssimfused.fused_level0_parts(
+            input, target, c1, c2, self.win_size, self.win_sigma, prescale, interp
+        )
+        mcs = [jax.nn.relu(cs)]
+        for i in range(1, levels):
+            if i < levels - 1:
+                s, cs, x, y = ssimfused.fused_ssim_parts_pool(
+                    x, y, c1, c2, self.win_size, self.win_sigma, interp
+                )
+                mcs.append(jax.nn.relu(cs))
+            else:
+                s, cs = ssimfused.fused_ssim_parts(
+                    x, y, c1, c2, self.win_size, self.win_sigma, interp
+                )
+        stacked = jnp.stack(mcs + [jax.nn.relu(s)], axis=0)  # (levels, B, C)
+        wts = jnp.asarray(weights).reshape(-1, 1, 1)
+        val = jnp.prod(stacked ** wts, axis=0)
+        msv = val.mean() if size_average else val.mean(1)
+        loss = 1 - msv
+        if self.mix < 1:
+            l1 = l1m.mean() if size_average else l1m.mean(1)
+            loss = self.mix * loss + (1 - self.mix) * l1
+        return loss
+
+    def scaled(self, input, target, scale):
+        """``loss(input * scale, target * scale)`` with the scale folded
+        into the fused kernels when active, so the train loop's
+        /IMAGE_RANGE never materializes scaled full-resolution tensors."""
+        input, target = self._cast(input, target)
+        fused = self._fused_mix_loss(input, target, float(scale), size_average=True)
+        if fused is not None:
+            return fused
+        return self(input * scale, target * scale)
+
     def __call__(self, input, target):
         input, target = self._cast(input, target)
+        fused = self._fused_mix_loss(input, target, 1.0, size_average=True)
+        if fused is not None:
+            return fused
         x = 1 - self._ssim_val(input, target, size_average=True)
         if self.mix < 1:
             x = self.mix * x + (1 - self.mix) * self._l1_windowed(input, target, per_sample=False)
@@ -106,6 +170,9 @@ class SSIMLoss:
         """(B,) per-sample losses — used by the jitted train step for exact
         masked reduction over padded device batches."""
         input, target = self._cast(input, target)
+        fused = self._fused_mix_loss(input, target, 1.0, size_average=False)
+        if fused is not None:
+            return fused
         x = 1 - self._ssim_val(input, target, size_average=False)
         if self.mix < 1:
             x = self.mix * x + (1 - self.mix) * self._l1_windowed(input, target, per_sample=True)

@@ -127,3 +127,39 @@ def test_ms_fused_chain_odd_dims_falls_back(_interpret_mode):
     ssimfused.MODE = "off"
     v_ref = float(ms_ssim(x, y))
     assert abs(v_fus - v_ref) < 2e-6
+
+
+def test_scaled_mixed_loss_matches_divided_path(_interpret_mode):
+    """SSIMLoss.scaled(raw, raw, 1/255) (prescale + SSIM + windowed L1 +
+    pool all in the level-0 kernel) must match the plain divided path —
+    values and gradients."""
+    x, y = _rand_pair((2, 1, 192, 192), seed=13)
+    x, y = x * 255.0, y * 255.0
+    loss_fn = SSIMLoss(mix=0.8, ms=True)
+
+    def fused(x, y):
+        return loss_fn.scaled(x, y, 1 / 255.0)
+
+    def ref(x, y):
+        ssimfused.MODE = "off"
+        try:
+            return loss_fn(x / 255.0, y / 255.0)
+        finally:
+            ssimfused.MODE = "interpret"
+
+    v_ref, g_ref = jax.value_and_grad(ref, argnums=(0, 1))(x, y)
+    v_fus, g_fus = jax.value_and_grad(fused, argnums=(0, 1))(x, y)
+    assert abs(float(v_ref) - float(v_fus)) < 2e-5
+    for a, b in zip(g_fus, g_ref):
+        scale = float(jnp.abs(b).max())
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4 * scale)
+
+
+def test_per_sample_fused_matches_plain(_interpret_mode):
+    """per_sample through the fused chain == MODE=off per_sample."""
+    x, y = _rand_pair((3, 1, 192, 192), seed=17)
+    loss_fn = SSIMLoss(mix=0.8, ms=True)
+    v_fus = loss_fn.per_sample(x, y)
+    ssimfused.MODE = "off"
+    v_ref = loss_fn.per_sample(x, y)
+    np.testing.assert_allclose(np.asarray(v_fus), np.asarray(v_ref), atol=2e-5)
