@@ -30,6 +30,7 @@ def main():
     from pssr2_tpu.crappifiers import Poisson
     from pssr2_tpu.data.pipeline import make_device_gen_pair
     from pssr2_tpu.models import ResUNet
+    from pssr2_tpu.ops import batchnorm as bn
     from pssr2_tpu.ops import smallconv as sc
     from pssr2_tpu.optim import AdamW
     from pssr2_tpu.train import _build_paired_steps
@@ -46,9 +47,17 @@ def main():
         return float(jnp.ravel(v)[0])
 
     results = []
-    for resolve, barrier in [("slices", True), ("conv", True), ("conv", False)]:
+    configs = [
+        ("slices", True, "dual"),   # shipping baseline (now incl. fused-loss chain + u8 aug)
+        ("conv", True, "dual"),
+        ("conv", False, "dual"),
+        ("slices", True, "split"),
+        ("slices", True, "gram"),
+    ]
+    for resolve, barrier, stats in configs:
         sc.Z_RESOLVE = resolve
         sc.Z_BARRIER = barrier
+        bn.STATS_FWD = stats
         model = ResUNet(dtype=jnp.bfloat16)
         model.train()
         optim = AdamW(1e-3)
@@ -74,6 +83,7 @@ def main():
         row = {
             "resolve": resolve,
             "barrier": barrier,
+            "stats": stats,
             "step_ms": round(sorted(times)[len(times) // 2], 3),
             "loss": sync(run()),
         }

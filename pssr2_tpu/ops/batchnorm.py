@@ -29,14 +29,41 @@ from flax import nnx
 from jax import lax
 
 
+# Forward-stats formulation (full-step A/B in experiments/mxu_probe36):
+#   "dual"  — one two-output reduce fusion over the (N, C) view (shipping
+#             default; profiled at ~2.5x its lane-padded byte floor as
+#             XLA's convert_reduce_fusion, results_r3.md)
+#   "split" — two independent single-output reduce fusions (reads x twice
+#             but each may stream at full bandwidth)
+#   "gram"  — sum(x^2) as diag(x^T x) on the MXU plus a ones-row dot for
+#             sum(x) (reads x twice, FLOPs ~0.17 ms at C=64 canonical)
+STATS_FWD = "dual"
+
+
 def _stats(x):
     from .pallas.chanstats import dual_sums
 
-    x2 = x.reshape(-1, x.shape[-1])
+    c = x.shape[-1]
+    x2 = x.reshape(-1, c)
     n = x2.shape[0]
-    s = dual_sums(x2, x2)  # one pass: [sum(x), sum(x^2)]
-    mu = s[0] / n
-    mu2 = s[1] / n
+    if STATS_FWD == "split":
+        xf = x2.astype(jnp.float32)
+        s0 = xf.sum(0)
+        s1 = (xf * xf).sum(0)
+    elif STATS_FWD == "gram":
+        g = lax.dot_general(
+            x2, x2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s1 = jnp.diagonal(g)
+        s0 = lax.dot_general(
+            jnp.ones((1, n), x2.dtype), x2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0]
+    else:
+        s = dual_sums(x2, x2)  # one pass: [sum(x), sum(x^2)]
+        s0, s1 = s[0], s[1]
+    mu = s0 / n
+    mu2 = s1 / n
     var = jnp.maximum(0.0, mu2 - mu * mu)
     return mu, var
 

@@ -352,3 +352,32 @@ def test_phase_resolve_conv_form_matches_slices(monkeypatch):
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
         for a, e in zip(g_got, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-4, atol=1e-5)
+
+
+def test_fast_batchnorm_stats_modes_match(monkeypatch):
+    """STATS_FWD variants (split reduces / MXU gram) compute the same
+    statistics as the dual-sum path to fp-reassociation level — values,
+    running stats, and gradients."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from pssr2_tpu.ops import batchnorm as bn
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((4, 8, 8, 16), np.float32) * 3 - 1)
+
+    def run(mode):
+        monkeypatch.setattr(bn, "STATS_FWD", mode)
+        m = bn.FastBatchNorm(16)
+        y, grads = jax.value_and_grad(
+            lambda s, b: (bn.bn_train(x * s, s, b, 1e-5)[0] ** 2).sum(), argnums=(0, 1)
+        )(jnp.ones((16,)) * 1.3, jnp.ones((16,)) * 0.1)
+        out = m(x)
+        return y, grads, out, m.mean[...], m.var[...]
+
+    ref = run("dual")
+    for mode in ("split", "gram"):
+        got = run(mode)
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
