@@ -747,7 +747,12 @@ def fused_ssim_parts(x, y, c1, c2, win_size, win_sigma, interpret=False):
 
 
 def auto_ok(x, win_size: int) -> bool:
-    """Gate for the fused path: TPU backend, f32 maps, VMEM-sized images."""
+    """Gate for the fused path: TPU backend, f32 maps, VMEM-sized images,
+    and no active mesh scope (pallas is not SPMD-partitionable)."""
+    from .guard import kernels_allowed
+
+    if not kernels_allowed():
+        return False
     if MODE == "off":
         return False
     if MODE == "interpret":

@@ -530,7 +530,13 @@ def eligible(b, h_img, w_img, c, heads, ws, backend=None) -> bool:
     per-block fixed cost — at batch 1 the fused path measured 4x SLOWER
     than the per-op winattn path (36.3 vs ~8.5 ms, swinir_bench_r3), at
     batch 16 it is 1.4x faster; gate at batch*window-rows >= 64 (the
-    measured-winning batch-16 x 128px shape has 256)."""
+    measured-winning batch-16 x 128px shape has 256).  A mesh scope
+    (ops/pallas/guard) disables the kernel: pallas is not
+    SPMD-partitionable."""
+    from .guard import kernels_allowed
+
+    if not kernels_allowed():
+        return False
     if MODE == "off":
         return False
     backend = backend or jax.default_backend()

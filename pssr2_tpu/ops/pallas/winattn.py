@@ -279,6 +279,10 @@ def fused_window_attention_2d(qkv_img, bias, mask_spec, scale, heads, ws, interp
 
 
 def eligible_2d(b, h_img, w_img, c, heads, ws, backend=None) -> bool:
+    from .guard import kernels_allowed
+
+    if not kernels_allowed():
+        return False
     if MODE == "off":
         return False
     backend = backend or jax.default_backend()

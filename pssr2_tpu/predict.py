@@ -47,13 +47,16 @@ def _eval_forward(model, mesh=None, batch_pad: int = None):
     n_dev = mesh.devices.size
     shard = batch_sharding(mesh)
 
+    from .ops.pallas.guard import mesh_scope
+
     def sharded_forward(lr):
         n = lr.shape[0]
         pad_to = max(batch_pad or 0, n, 1)
         pad_to = ((pad_to + n_dev - 1) // n_dev) * n_dev  # divisible by mesh
         if n < pad_to:
             lr = np.concatenate([lr, np.repeat(lr[-1:], pad_to - n, axis=0)])
-        out = forward(state, jax.device_put(lr, shard))
+        with mesh_scope():  # trace without single-chip Pallas kernels
+            out = forward(state, jax.device_put(lr, shard))
         return out[:n]
 
     return sharded_forward

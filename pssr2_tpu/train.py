@@ -22,6 +22,7 @@ the reference's ``callbacks`` NameError (reference: pssr/train.py:227, see
 SURVEY.md §2.3).
 """
 
+import contextlib
 import os
 import random
 from functools import partial
@@ -69,9 +70,16 @@ def _loss_scaled(loss_fn, hr_hat, hr):
     return loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE)
 
 
-def _build_paired_steps(loss_fn, clamp, gen_pair):
+def _build_paired_steps(loss_fn, clamp, gen_pair, mesh_guard: bool = False):
     """Jitted train/val steps. ``gen_pair(key, batch, augment)`` is the
-    on-device degradation (None = batches arrive as ready (hr, lr) pairs)."""
+    on-device degradation (None = batches arrive as ready (hr, lr) pairs).
+    ``mesh_guard=True`` traces the model forward and loss inside
+    ops/pallas/guard.mesh_scope so the single-chip Pallas kernels are
+    gated off (not SPMD-partitionable)."""
+    from .ops.pallas.guard import mesh_scope
+
+    def _guard():
+        return mesh_scope() if mesh_guard else contextlib.nullcontext()
 
     def _prepare(batch, key, n_valid, train):
         if gen_pair is not None:
@@ -81,13 +89,14 @@ def _build_paired_steps(loss_fn, clamp, gen_pair):
         return hr[:n_valid], lr[:n_valid]
 
     def _loss(model, lr, hr, extra):
-        hr_hat = model(lr)
-        if clamp:
-            hr_hat = jnp.clip(hr_hat, 0, IMAGE_RANGE)
-        if extra is None:
-            loss = _loss_scaled(loss_fn, hr_hat, hr)
-        else:
-            loss = loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE, extra / IMAGE_RANGE)
+        with _guard():
+            hr_hat = model(lr)
+            if clamp:
+                hr_hat = jnp.clip(hr_hat, 0, IMAGE_RANGE)
+            if extra is None:
+                loss = _loss_scaled(loss_fn, hr_hat, hr)
+            else:
+                loss = loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE, extra / IMAGE_RANGE)
         return loss, hr_hat
 
     @partial(nnx.jit, static_argnames=("n_valid", "with_metrics"))
@@ -118,7 +127,7 @@ def _build_paired_steps(loss_fn, clamp, gen_pair):
     return train_step, val_step
 
 
-def _build_multi_train_step(loss_fn, clamp, gen_pair):
+def _build_multi_train_step(loss_fn, clamp, gen_pair, mesh_guard: bool = False):
     """K train steps in ONE jitted dispatch via ``nnx.scan``
     (``train_paired(steps_per_dispatch=K)``).
 
@@ -129,13 +138,16 @@ def _build_multi_train_step(loss_fn, clamp, gen_pair):
     metric/collage batches run through the per-step path.
     """
 
+    from .ops.pallas.guard import mesh_scope
+
     def _loss(model, lr, hr, extra):
-        hr_hat = model(lr)
-        if clamp:
-            hr_hat = jnp.clip(hr_hat, 0, IMAGE_RANGE)
-        if extra is None:
-            return _loss_scaled(loss_fn, hr_hat, hr)
-        return loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE, extra / IMAGE_RANGE)
+        with mesh_scope() if mesh_guard else contextlib.nullcontext():
+            hr_hat = model(lr)
+            if clamp:
+                hr_hat = jnp.clip(hr_hat, 0, IMAGE_RANGE)
+            if extra is None:
+                return _loss_scaled(loss_fn, hr_hat, hr)
+            return loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE, extra / IMAGE_RANGE)
 
     def _one(model, optimizer, batch, extra, step_key):
         if gen_pair is not None:
@@ -392,12 +404,18 @@ def train_paired(
     else:
         data_shard = None
 
-    train_step, val_step = _build_paired_steps(loss_fn, clamp, gen_pair)
+    train_step, val_step = _build_paired_steps(
+        loss_fn, clamp, gen_pair, mesh_guard=mesh is not None
+    )
 
     # steps_per_dispatch > 1: fuse K steps into one dispatch via nnx.scan.
     # Locals-callbacks need per-batch tensors, so they force per-step.
     use_multi = steps_per_dispatch > 1 and not any(callback_locals)
-    multi_train_step = _build_multi_train_step(loss_fn, clamp, gen_pair) if use_multi else None
+    multi_train_step = (
+        _build_multi_train_step(loss_fn, clamp, gen_pair, mesh_guard=mesh is not None)
+        if use_multi
+        else None
+    )
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _P
 

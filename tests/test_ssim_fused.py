@@ -163,3 +163,23 @@ def test_per_sample_fused_matches_plain(_interpret_mode):
     ssimfused.MODE = "off"
     v_ref = loss_fn.per_sample(x, y)
     np.testing.assert_allclose(np.asarray(v_fus), np.asarray(v_ref), atol=2e-5)
+
+
+def test_mesh_scope_gates_kernels(_interpret_mode):
+    """ops/pallas/guard.mesh_scope must gate every single-chip kernel
+    entry point (pallas is not SPMD-partitionable), even in interpret
+    mode, and restore cleanly."""
+    from pssr2_tpu.ops.pallas import swinblock, winattn
+    from pssr2_tpu.ops.pallas.guard import kernels_allowed, mesh_scope
+
+    x = jnp.zeros((1, 1, 64, 64), jnp.float32)
+    assert kernels_allowed()
+    assert ssimfused.auto_ok(x, 11)
+    with mesh_scope():
+        assert not kernels_allowed()
+        assert not ssimfused.auto_ok(x, 11)
+        assert not winattn.eligible(512, 64, 96, 6, None, backend="tpu")
+        assert not winattn.eligible_2d(16, 128, 128, 96, 6, 8, backend="tpu")
+        assert not swinblock.eligible(16, 128, 128, 96, 6, 8, backend="tpu")
+    assert kernels_allowed()
+    assert ssimfused.auto_ok(x, 11)
