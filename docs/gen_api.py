@@ -38,6 +38,10 @@ MODULES = [
     ("pssr2_tpu.ops.batchnorm", "Fast BatchNorm"),
     ("pssr2_tpu.ops.pallas.chanstats", "Pallas channel stats"),
     ("pssr2_tpu.ops.pallas.gradhist", "Pallas GradHist"),
+    ("pssr2_tpu.ops.pallas.ssimfused", "Pallas fused SSIM / mixed loss"),
+    ("pssr2_tpu.ops.pallas.winattn", "Pallas window attention"),
+    ("pssr2_tpu.ops.pallas.swinblock", "Pallas fused Swin block"),
+    ("pssr2_tpu.ops.pallas.guard", "Pallas mesh guard"),
     ("pssr2_tpu.parallel.mesh", "Mesh helpers"),
     ("pssr2_tpu.parallel.tp", "Tensor parallelism"),
     ("pssr2_tpu.parallel.spatial", "Spatial (halo) parallelism"),
