@@ -346,14 +346,14 @@ def _bwd_pool_kernel(
 
 def _fwd_l0_kernel(
     x_ref, y_ref, gh_ref, gw_ref, bh_ref, bw_ref, ph_ref, pw_ref,
-    s_ref, cs_ref, l1_ref, xp_ref, yp_ref, *, c1, c2, win, h, w, prescale
+    s_ref, cs_ref, l1_ref, xp_ref, yp_ref, *, c1, c2, win, h, w, divisor
 ):
-    """MS level 0 of the canonical mixed loss in one pass: prescale
-    (the train loop's /IMAGE_RANGE), single-scale SSIM stats, the
-    Gaussian-windowed L1 map sum (util.SSIMLoss._l1_windowed), and the
-    2x2 pool feeding level 1."""
-    x = x_ref[0] * prescale
-    y = y_ref[0] * prescale
+    """MS level 0 of the canonical mixed loss in one pass: the train
+    loop's /IMAGE_RANGE (an exact f32 divide, bit-matching the XLA
+    ``x / 255``), single-scale SSIM stats, the Gaussian-windowed L1 map
+    sum (util.SSIMLoss._l1_windowed), and the 2x2 pool feeding level 1."""
+    x = x_ref[0] / divisor if divisor != 1.0 else x_ref[0]
+    y = y_ref[0] / divisor if divisor != 1.0 else y_ref[0]
     gh = gh_ref[...]
     gw = gw_ref[...]
     mu1, mu2, xx_b, yy_b, xy_b = _moments(x, y, gh, gw, h, w, win)
@@ -373,10 +373,10 @@ def _fwd_l0_kernel(
 def _bwd_l0_kernel(
     x_ref, y_ref, gh_ref, gw_ref, bh_ref, bw_ref, ph_ref, pw_ref,
     gs_ref, gcs_ref, gl1_ref, gxp_ref, gyp_ref, gx_ref, gy_ref,
-    *, c1, c2, win, h, w, prescale
+    *, c1, c2, win, h, w, divisor
 ):
-    x = x_ref[0] * prescale
-    y = y_ref[0] * prescale
+    x = x_ref[0] / divisor if divisor != 1.0 else x_ref[0]
+    y = y_ref[0] / divisor if divisor != 1.0 else y_ref[0]
     gh = gh_ref[...]
     gw = gw_ref[...]
     inv_n = 1.0 / float((h - win + 1) * (w - win + 1))
@@ -414,12 +414,17 @@ def _bwd_l0_kernel(
     pw = pw_ref[...]
     pgx = _pool2_t(gxp_ref[0], ph, pw)
     pgy = _pool2_t(gyp_ref[0], ph, pw)
-    gx_ref[0] = (t1 + 2 * x * t3 + y * t4 + l1g + pgx) * prescale
-    gy_ref[0] = (t2 + 2 * y * t3 + x * t4 - l1g + pgy) * prescale
+    gx = t1 + 2 * x * t3 + y * t4 + l1g + pgx
+    gy = t2 + 2 * y * t3 + x * t4 - l1g + pgy
+    if divisor != 1.0:
+        gx = gx / divisor
+        gy = gy / divisor
+    gx_ref[0] = gx
+    gy_ref[0] = gy
 
 
 @functools.lru_cache(maxsize=32)
-def _fused_l0_fn(c1, c2, win_size, win_sigma, h, w, prescale, interpret):
+def _fused_l0_fn(c1, c2, win_size, win_sigma, h, w, divisor, interpret):
     """custom_vjp for the level-0 mixed-loss kernel: (x_raw, y_raw) ->
     (ssim_mean, cs_mean, l1_mean, x_pooled, y_pooled), all in the
     prescaled domain; the pooled tensors feed level 1."""
@@ -437,7 +442,7 @@ def _fused_l0_fn(c1, c2, win_size, win_sigma, h, w, prescale, interpret):
         n = x.shape[0]
         s_sum, cs_sum, l1_sum, xp, yp = pl.pallas_call(
             functools.partial(
-                _fwd_l0_kernel, c1=c1, c2=c2, win=win_size, h=h, w=w, prescale=prescale
+                _fwd_l0_kernel, c1=c1, c2=c2, win=win_size, h=h, w=w, divisor=divisor
             ),
             grid=(n,),
             in_specs=[
@@ -483,7 +488,7 @@ def _fused_l0_fn(c1, c2, win_size, win_sigma, h, w, prescale, interpret):
         n = x.shape[0]
         gx, gy = pl.pallas_call(
             functools.partial(
-                _bwd_l0_kernel, c1=c1, c2=c2, win=win_size, h=h, w=w, prescale=prescale
+                _bwd_l0_kernel, c1=c1, c2=c2, win=win_size, h=h, w=w, divisor=divisor
             ),
             grid=(n,),
             in_specs=[
@@ -531,13 +536,14 @@ def _fused_l0_fn(c1, c2, win_size, win_sigma, h, w, prescale, interpret):
     return parts
 
 
-def fused_level0_parts(x, y, c1, c2, win_size, win_sigma, prescale=1.0, interpret=False):
+def fused_level0_parts(x, y, c1, c2, win_size, win_sigma, divisor=1.0, interpret=False):
     """Level 0 of the canonical mixed MS-SSIM+L1 loss for NCHW f32
     batches: (ssim_pc, cs_pc, l1_pc, x_pooled, y_pooled), computed on
-    ``x * prescale`` without materializing the scaled tensors."""
+    ``x / divisor`` (exact f32 divide) without materializing the scaled
+    tensors."""
     b, c, h, w = x.shape
     fn = _fused_l0_fn(
-        float(c1), float(c2), int(win_size), float(win_sigma), h, w, float(prescale), interpret
+        float(c1), float(c2), int(win_size), float(win_sigma), h, w, float(divisor), interpret
     )
     xs = x.reshape(b * c, h, w).astype(jnp.float32)
     ys = y.reshape(b * c, h, w).astype(jnp.float32)

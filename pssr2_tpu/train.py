@@ -66,7 +66,7 @@ def _loss_scaled(loss_fn, hr_hat, hr):
     (reference semantics: pssr/train.py:75-76)."""
     fn = getattr(loss_fn, "scaled", None)
     if fn is not None:
-        return fn(hr_hat, hr, 1.0 / IMAGE_RANGE)
+        return fn(hr_hat, hr, IMAGE_RANGE)
     return loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE)
 
 

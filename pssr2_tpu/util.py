@@ -95,7 +95,7 @@ class SSIMLoss:
             return input.astype(self.dtype), target.astype(self.dtype)
         return input, target
 
-    def _fused_mix_loss(self, input, target, prescale, size_average):
+    def _fused_mix_loss(self, input, target, divisor, size_average):
         """The whole mixed loss through the fused kernel chain (level 0
         computes prescale + SSIM + windowed L1 + pool in ONE pass —
         ops/pallas/ssimfused.fused_level0_parts), or None when the
@@ -123,7 +123,7 @@ class SSIMLoss:
 
         interp = ssimfused.MODE == "interpret"
         s, cs, l1m, x, y = ssimfused.fused_level0_parts(
-            input, target, c1, c2, self.win_size, self.win_sigma, prescale, interp
+            input, target, c1, c2, self.win_size, self.win_sigma, divisor, interp
         )
         mcs = [jax.nn.relu(cs)]
         for i in range(1, levels):
@@ -146,15 +146,16 @@ class SSIMLoss:
             loss = self.mix * loss + (1 - self.mix) * l1
         return loss
 
-    def scaled(self, input, target, scale):
-        """``loss(input * scale, target * scale)`` with the scale folded
-        into the fused kernels when active, so the train loop's
-        /IMAGE_RANGE never materializes scaled full-resolution tensors."""
+    def scaled(self, input, target, divisor):
+        """``loss(input / divisor, target / divisor)`` with the exact f32
+        divide folded into the fused kernels when active, so the train
+        loop's /IMAGE_RANGE never materializes divided full-resolution
+        tensors (bit-matching the XLA ``x / 255``)."""
         input, target = self._cast(input, target)
-        fused = self._fused_mix_loss(input, target, float(scale), size_average=True)
+        fused = self._fused_mix_loss(input, target, float(divisor), size_average=True)
         if fused is not None:
             return fused
-        return self(input * scale, target * scale)
+        return self(input / divisor, target / divisor)
 
     def __call__(self, input, target):
         input, target = self._cast(input, target)

@@ -138,7 +138,7 @@ def test_scaled_mixed_loss_matches_divided_path(_interpret_mode):
     loss_fn = SSIMLoss(mix=0.8, ms=True)
 
     def fused(x, y):
-        return loss_fn.scaled(x, y, 1 / 255.0)
+        return loss_fn.scaled(x, y, 255.0)
 
     def ref(x, y):
         ssimfused.MODE = "off"
