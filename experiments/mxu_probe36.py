@@ -89,9 +89,8 @@ def main():
         }
         results.append(row)
         print(json.dumps(row), flush=True)
-
-    with open(os.path.join(HERE, "mxu_probe36.json"), "w") as f:
-        json.dump(results, f, indent=1)
+        with open(os.path.join(HERE, "mxu_probe36.json"), "w") as f:
+            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..ssim import _band_matrix
 
@@ -42,6 +43,12 @@ DOT_PRECISION = "highest"
 # VMEM ceiling for auto mode: the bwd kernel's peak live set is ~12 maps
 # of (H, W) f32 (x, y, five blurred moments, temps, gx, gy).
 _MAX_PIXELS = 1 << 19  # 512 * 1024
+
+# The merged level-0 kernel's scoped (stack) VMEM peaks at ~19 MB for a
+# 512x512 image — over Mosaic's 16 MB default check (v5e VMEM is 128 MB,
+# so the allocation itself is fine; the limit is an occupancy lint).
+# Raise it for every kernel in this file; harmless where unneeded.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _band_chunks(size: int, win: int):
@@ -470,6 +477,7 @@ def _fused_l0_fn(c1, c2, win_size, win_sigma, h, w, divisor, interpret):
                 jax.ShapeDtypeStruct((n, h // 2, w // 2), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=None if interpret else _COMPILER_PARAMS,
         )(x, y, gh, gw, bh, bw, ph, pw)
         return (
             s_sum[:, 0, 0] * inv_n,
@@ -515,6 +523,7 @@ def _fused_l0_fn(c1, c2, win_size, win_sigma, h, w, divisor, interpret):
                 jax.ShapeDtypeStruct((n, h, w), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=None if interpret else _COMPILER_PARAMS,
         )(
             x,
             y,
@@ -596,6 +605,7 @@ def _fused_pool_fn(c1, c2, win_size, win_sigma, h, w, interpret):
                 jax.ShapeDtypeStruct((n, h // 2, w // 2), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=None if interpret else _COMPILER_PARAMS,
         )(x, y, gh, gw, ph, pw)
         return s_sum[:, 0, 0] * inv_n, cs_sum[:, 0, 0] * inv_n, xp, yp
 
@@ -630,6 +640,7 @@ def _fused_pool_fn(c1, c2, win_size, win_sigma, h, w, interpret):
                 jax.ShapeDtypeStruct((n, h, w), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=None if interpret else _COMPILER_PARAMS,
         )(
             x,
             y,
@@ -696,6 +707,7 @@ def _fused_fn(c1, c2, win_size, win_sigma, h, w, interpret):
                 jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=None if interpret else _COMPILER_PARAMS,
         )(x, y, gh, gw)
         return s_sum[:, 0, 0] * inv_n, cs_sum[:, 0, 0] * inv_n
 
@@ -726,6 +738,7 @@ def _fused_fn(c1, c2, win_size, win_sigma, h, w, interpret):
                 jax.ShapeDtypeStruct((n, h, w), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=None if interpret else _COMPILER_PARAMS,
         )(
             x,
             y,

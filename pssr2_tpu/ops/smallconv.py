@@ -147,18 +147,54 @@ def _resolve_kernel_np(s: int, cout: int):
     return k
 
 
+@functools.lru_cache(maxsize=8)
+def _phase_resolve_conv_fn(s: int, cout: int, dtype_name: str):
+    """custom_vjp conv-form phase resolve for (scale, cout, z dtype).
+
+    Linear in z, so no residuals; the transpose is the same SAME 3x3 conv
+    with the selection kernel spatially flipped and IO-transposed.  The
+    explicit VJP (a) keeps autodiff from pairing the f32 cotangent with a
+    compute-dtype kernel (a lax.conv dtype error under bf16 models) and
+    (b) matches the slice path's numerics: every z element feeds exactly
+    one output, so the f32 transpose conv + one final cast is the same
+    single-value cast :func:`_phase_resolve_fn`'s bwd performs per tap.
+    """
+    kf = _resolve_kernel_np(s, cout)
+
+    @jax.custom_vjp
+    def resolve(z_flat):
+        k = jnp.asarray(kf, z_flat.dtype)
+        out = lax.conv_general_dilated(
+            z_flat, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        b, h, w, _ = z_flat.shape
+        return out.reshape(b, h, w, s, s, cout)
+
+    def fwd(z_flat):
+        return resolve(z_flat), None
+
+    def bwd(_, g):
+        b, h, w = g.shape[:3]
+        gf = g.reshape(b, h, w, s * s * cout).astype(jnp.float32)
+        kt = jnp.asarray(kf[::-1, ::-1].transpose(0, 1, 3, 2), jnp.float32)
+        dz = lax.conv_general_dilated(
+            gf, kt, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return (dz.astype(dtype_name),)
+
+    resolve.defvjp(fwd, bwd)
+    return resolve
+
+
 def _phase_resolve_conv(z_flat, s, cout):
     """Conv-form phase resolve on the FLAT dense z (B, H, W, s^2*9*cout):
     one 3x3 conv, f32 accumulation, halo handled by the conv emitter.
     Returns (B, H, W, s, s, cout) f32, matching :func:`_phase_resolve`."""
-    k = jnp.asarray(_resolve_kernel_np(s, cout), z_flat.dtype)
-    out = lax.conv_general_dilated(
-        z_flat, k, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
-    b, h, w, _ = z_flat.shape
-    return out.reshape(b, h, w, s, s, cout)
+    return _phase_resolve_conv_fn(s, cout, z_flat.dtype.name)(z_flat)
 
 
 def shuffle_conv_small(y_pm, kernel, bias=None, *, scale: int):

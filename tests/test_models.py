@@ -353,6 +353,28 @@ def test_phase_resolve_conv_form_matches_slices(monkeypatch):
         for a, e in zip(g_got, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-4, atol=1e-5)
 
+    # bf16 activations (the canonical bench model's dtype): the conv form's
+    # custom VJP must pair dtypes itself — autodiff over the raw conv fails
+    # with f32-cotangent x bf16-kernel (the mxu_probe36 crash).
+    y16 = jnp.asarray(rng.random((2, 8, 8, 16 * 5), np.float32), jnp.bfloat16)
+    k16 = jnp.asarray(rng.random((3, 3, 5, 1), np.float32) - 0.5, jnp.bfloat16)
+
+    def run16(y_pm):
+        return sc.shuffle_conv_small(y_pm, k16, None, scale=4)
+
+    monkeypatch.setattr(sc, "Z_RESOLVE", "slices")
+    ref16 = np.asarray(run16(y16), np.float32)
+    g_ref16 = np.asarray(
+        jax.grad(lambda a: jnp.sum(run16(a).astype(jnp.float32)))(y16), np.float32
+    )
+    monkeypatch.setattr(sc, "Z_RESOLVE", "conv")
+    got16 = np.asarray(run16(y16), np.float32)
+    g_got16 = np.asarray(
+        jax.grad(lambda a: jnp.sum(run16(a).astype(jnp.float32)))(y16), np.float32
+    )
+    np.testing.assert_allclose(got16, ref16, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(g_got16, g_ref16, rtol=2e-2, atol=2e-2)
+
 
 def test_fast_batchnorm_stats_modes_match(monkeypatch):
     """STATS_FWD variants (split reduces / MXU gram) compute the same
