@@ -29,39 +29,58 @@ from flax import nnx
 from jax import lax
 
 
-# Forward-stats formulation (full-step A/B in experiments/mxu_probe36):
-#   "dual"  — one two-output reduce fusion over the (N, C) view (shipping
+# Forward-stats formulation (full-step A/B in experiments/mxu_probe36/37/38):
+#   "dual"  — one two-output reduce fusion over the (N, C) view (round-2
 #             default; profiled at ~2.5x its lane-padded byte floor as
 #             XLA's convert_reduce_fusion, results_r3.md)
 #   "split" — two independent single-output reduce fusions (reads x twice
 #             but each may stream at full bandwidth)
 #   "gram"  — sum(x^2) as diag(x^T x) on the MXU plus a ones-row dot for
-#             sum(x) (reads x twice, FLOPs ~0.17 ms at C=64 canonical)
+#             sum(x) (reads x twice, FLOPs ~0.17 ms at C=64 canonical;
+#             measured worse, mxu_probe36)
+#   "axes"  — the dual fusion over the raw NHWC tensor, reducing axes
+#             (0, 1, 2) with NO reshape: the (-1, C) view is a strided
+#             walk of the conv emitter's physical layout (C lanes, N
+#             sublanes — see results_r3.md), and the collapsed shape
+#             pins the fusion emitter's iteration order
 STATS_FWD = "dual"
+# Backward-stats formulation: same menu for the (sum(gy), sum(gy*x)) pair.
+STATS_BWD = "dual"
 
 
-def _stats(x):
+def _reduce_pair(mode, x, y):
+    """[sum(x), sum(x * y)] per channel as two (C,) f32 arrays, formulated
+    per ``mode`` (see STATS_FWD).  ``x``/``y`` are the raw channels-last
+    tensors (any leading shape)."""
     from .pallas.chanstats import dual_sums
 
     c = x.shape[-1]
+    if mode == "axes":
+        axes = tuple(range(x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        return xf.sum(axes), (xf * y.astype(jnp.float32)).sum(axes)
     x2 = x.reshape(-1, c)
-    n = x2.shape[0]
-    if STATS_FWD == "split":
+    y2 = y.reshape(-1, c)
+    if mode == "split":
         xf = x2.astype(jnp.float32)
-        s0 = xf.sum(0)
-        s1 = (xf * xf).sum(0)
-    elif STATS_FWD == "gram":
-        g = lax.dot_general(
-            x2, x2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        return xf.sum(0), (xf * y2.astype(jnp.float32)).sum(0)
+    if mode == "gram":
+        n = x2.shape[0]
+        s1 = lax.dot_general(
+            x2, y2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s1 = jnp.diagonal(g)
         s0 = lax.dot_general(
             jnp.ones((1, n), x2.dtype), x2, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )[0]
-    else:
-        s = dual_sums(x2, x2)  # one pass: [sum(x), sum(x^2)]
-        s0, s1 = s[0], s[1]
+        return s0, jnp.diagonal(s1)
+    s = dual_sums(x2, y2)  # one pass: [sum(x), sum(x y)]
+    return s[0], s[1]
+
+
+def _stats(x):
+    n = x.size // x.shape[-1]
+    s0, s1 = _reduce_pair(STATS_FWD, x, x)
     mu = s0 / n
     mu2 = s1 / n
     var = jnp.maximum(0.0, mu2 - mu * mu)
@@ -102,10 +121,7 @@ def _bn_train_bwd(eps, res, g):
     r = lax.rsqrt(var + eps)
     a = r * scale  # f32
 
-    from .pallas.chanstats import dual_sums
-
-    t = dual_sums(gy.reshape(-1, c), x.reshape(-1, c))  # one pass: [sum(gy), sum(gy x)]
-    t0, t1 = t[0], t[1]
+    t0, t1 = _reduce_pair(STATS_BWD, gy, x)  # [sum(gy), sum(gy x)]
     s1 = t1 - mu * t0
 
     dscale = s1 * r
