@@ -43,6 +43,12 @@ from jax import lax
 #             walk of the conv emitter's physical layout (C lanes, N
 #             sublanes — see results_r3.md), and the collapsed shape
 #             pins the fusion emitter's iteration order
+#   "tpallas" — the Pallas chanstats kernel fed the TRANSPOSED logical
+#             view (N, H, W, C) -> (H, W, N, C) -> (-1, C), whose default
+#             row-major layout coincides with the conv emitter's physical
+#             activation layout ({3,0,2,1}: C lanes, N sublanes) — the
+#             round-2 composed +6.5 ms was the relayout copies the
+#             UNtransposed operands forced (mxu_probe16)
 STATS_FWD = "dual"
 # Backward-stats formulation: same menu for the (sum(gy), sum(gy*x)) pair.
 STATS_BWD = "dual"
@@ -59,6 +65,12 @@ def _reduce_pair(mode, x, y):
         axes = tuple(range(x.ndim - 1))
         xf = x.astype(jnp.float32)
         return xf.sum(axes), (xf * y.astype(jnp.float32)).sum(axes)
+    if mode == "tpallas" and x.ndim > 2:
+        xt = jnp.moveaxis(x, 0, -2).reshape(-1, c)
+        yt = jnp.moveaxis(y, 0, -2).reshape(-1, c)
+        force = "pallas" if jax.default_backend() == "tpu" else "interpret"
+        s = dual_sums(xt, yt, force=force)
+        return s[0], s[1]
     x2 = x.reshape(-1, c)
     y2 = y.reshape(-1, c)
     if mode == "split":

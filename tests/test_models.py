@@ -399,14 +399,14 @@ def test_fast_batchnorm_stats_modes_match(monkeypatch):
         return y, grads, out, m.mean[...], m.var[...]
 
     ref = run("dual")
-    for mode in ("split", "gram", "axes"):
+    for mode in ("split", "gram", "axes", "tpallas"):
         got = run(mode)
         for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
 
     # backward-stats formulations: same grads through every STATS_BWD mode
     monkeypatch.setattr(bn, "STATS_FWD", "dual")
-    for mode in ("split", "gram", "axes"):
+    for mode in ("split", "gram", "axes", "tpallas"):
         monkeypatch.setattr(bn, "STATS_BWD", mode)
         got = run("dual")
         for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
