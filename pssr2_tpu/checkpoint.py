@@ -21,8 +21,10 @@ def _flatten_state(state) -> dict:
 
 
 def save_weights(model: nnx.Module, path):
-    """Save model weights (params + batch stats) as a flat .npz."""
-    state = nnx.state(model)
+    """Save model weights (params + batch stats) as a flat .npz.  RNG
+    stream state (e.g. SwinIR's DropPath dropout keys) is excluded — the
+    reference's .pth exports are weights-only too (pssr/train.py:151)."""
+    state = nnx.state(model, nnx.Not(nnx.RngState))
     np.savez(path, **_flatten_state(state))
 
 
@@ -36,7 +38,7 @@ def load_weights(model: nnx.Module, path):
         load_torch_weights(model, path)
         return model
     loaded = np.load(path)
-    state = nnx.state(model)
+    state = nnx.state(model, nnx.Not(nnx.RngState))
     pure = nnx.to_pure_dict(state)
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(pure)

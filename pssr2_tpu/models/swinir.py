@@ -265,6 +265,46 @@ class SwinTransformerBlock(nnx.Module):
         )
         return out, s
 
+    def forward_rolled_train(self, x_img, v_in, s1, s2):
+        """Training twin of :func:`forward_rolled`: fused forward with
+        per-sample DropPath keep-scales plus the fused whole-block VJP
+        kernel for the backward (ops/pallas/swinblock
+        fused_swin_block_train)."""
+        from ..ops.pallas import swinblock
+
+        s = self.shift_size
+        out = swinblock.fused_swin_block_train(
+            x_img,
+            self._fused_params(),
+            s1,
+            s2,
+            heads=self.num_heads,
+            scale=self.attn.scale,
+            ws=self.window_size,
+            delta=(s - v_in) % self.window_size,
+            shift=s,
+            mask_hw=(x_img.shape[1], x_img.shape[2]) if s else None,
+            eps=self.norm1.epsilon,
+        )
+        return out, s
+
+    def drop_path_scales(self, b):
+        """Two (B,) stochastic-depth keep-scales (mask / keep_prob), drawn
+        from the block's own dropout stream — the per-sample semantics of
+        DropPathTok (nnx.Dropout with broadcast_dims=(1, 2)) for the fused
+        train chain.  Ones when stochastic depth is off."""
+        d = self.drop_path.drop
+        if d is None or d.deterministic or d.rate == 0.0:
+            ones = jnp.ones((b,), jnp.float32)
+            return ones, ones
+        keep = 1.0 - d.rate
+
+        def draw():
+            m = jax.random.bernoulli(d.rngs(), keep, (b,))
+            return m.astype(jnp.float32) / keep
+
+        return draw(), draw()
+
     def __call__(self, x, x_size):
         h, w = x_size
         b, _, c = x.shape
@@ -356,10 +396,10 @@ class BasicLayer(nnx.Module):
     def _fused_chain_ok(self, b, h, w, c):
         """True when every block can run the whole-block fused kernel and
         the roll-space chain is well-formed (uniform even window, shifts in
-        {0, ws/2}, eval mode, no active dropout).  Training always takes
-        the reference XLA blocks: the fused kernels' VJP recomputes the
-        XLA forward, so under grad they cost kernel fwd + XLA fwd + XLA
-        bwd (see WindowAttention.deterministic)."""
+        {0, ws/2}, eval mode, no active dropout).  Training takes the fused
+        TRAIN chain instead when :meth:`_fused_train_ok` holds (fused
+        forward + whole-block VJP kernels); otherwise the reference XLA
+        blocks."""
         from ..ops.pallas import swinblock
 
         if not all(blk.attn.deterministic for blk in self.blocks):
@@ -380,25 +420,62 @@ class BasicLayer(nnx.Module):
                 return False
         return swinblock.eligible(b, h, w, c, self.blocks[0].num_heads, ws)
 
+    def _fused_train_ok(self, b, h, w, c):
+        """True when every block can run the fused TRAIN chain (forward +
+        whole-block VJP kernels): train mode with all elementwise dropouts
+        inactive — stochastic depth is allowed (carried as per-sample
+        keep-scales into the kernels).  Reference semantics preserved:
+        swinir.py:270-389 with drop/attn_drop = 0 (the PSSR2 default)."""
+        from ..ops.pallas import swinblock
+
+        sizes = {blk.window_size for blk in self.blocks}
+        if len(sizes) != 1:
+            return False
+        ws = sizes.pop()
+
+        def inactive(drop):
+            return drop is None or getattr(drop, "deterministic", False)
+
+        for blk in self.blocks:
+            if blk.shift_size not in (0, ws // 2):
+                return False
+            if not (inactive(blk.attn.attn_drop) and inactive(blk.attn.proj_drop)):
+                return False
+            if not inactive(blk.mlp.drop):
+                return False
+        return swinblock.eligible_train(b, h, w, c, self.blocks[0].num_heads, ws)
+
+    def _rolled_chain(self, x, b, h, w, c, train):
+        """Whole-block fused chain in roll space: one kernel pass per
+        block, one XLA roll per layer (ops/pallas/swinblock).  The train
+        variant uses the fused VJP kernels — which already recompute in
+        their backward, so use_checkpoint adds nothing there."""
+        x_img = x.reshape(b, h, w, c)
+        v = 0
+        for block in self.blocks:
+            if train:
+                s1, s2 = block.drop_path_scales(b)
+                x_img, v = block.forward_rolled_train(x_img, v, s1, s2)
+            elif self.use_checkpoint:
+                x_img = jax.checkpoint(
+                    lambda t, blk=block, vi=v: blk.forward_rolled(t, vi)[0]
+                )(x_img)
+                v = block.shift_size
+            else:
+                x_img, v = block.forward_rolled(x_img, v)
+        if v:
+            x_img = jnp.roll(x_img, (v, v), axis=(1, 2))
+        return x_img.reshape(b, h * w, c)
+
     def __call__(self, x, x_size):
         h, w = x_size
         b, _, c = x.shape
         if self._fused_chain_ok(b, h, w, c):
-            # whole-block fused chain in roll space: one kernel pass per
-            # block, one XLA roll per layer (ops/pallas/swinblock)
-            x_img = x.reshape(b, h, w, c)
-            v = 0
-            for block in self.blocks:
-                if self.use_checkpoint:
-                    x_img = jax.checkpoint(
-                        lambda t, blk=block, vi=v: blk.forward_rolled(t, vi)[0]
-                    )(x_img)
-                    v = block.shift_size
-                else:
-                    x_img, v = block.forward_rolled(x_img, v)
-            if v:
-                x_img = jnp.roll(x_img, (v, v), axis=(1, 2))
-            return x_img.reshape(b, h * w, c)
+            return self._rolled_chain(x, b, h, w, c, train=False)
+        if not all(blk.attn.deterministic for blk in self.blocks) and self._fused_train_ok(
+            b, h, w, c
+        ):
+            return self._rolled_chain(x, b, h, w, c, train=True)
         for block in self.blocks:
             if self.use_checkpoint:
                 x = jax.checkpoint(lambda x_, blk=block: blk(x_, x_size))(x)

@@ -292,13 +292,28 @@ def _attention(qkv, bias, labels, *, heads, d, scale, masked, dtype):
     return jnp.concatenate(outs, axis=-1)
 
 
+def _windowize(t, rows, ws, k, cc):
+    """(rows*ws, W, cc) image strip -> (rows*k, n, cc) windows."""
+    t = t.reshape(rows, ws, k, ws, cc).transpose(0, 2, 1, 3, 4)
+    return t.reshape(rows * k, ws * ws, cc)
+
+
+def _unwindowize(t, rows, ws, k, cc):
+    """(rows*k, n, cc) windows -> (rows*ws, W, cc) image strip."""
+    t = t.reshape(rows, k, ws, ws, cc).transpose(0, 2, 1, 3, 4)
+    return t.reshape(rows * ws, k * ws, cc)
+
+
 def _block_kernel(
-    *refs,  # 2*rows x-strips, 13 params, bias, labels, out
-    heads, d, scale, ws, delta, masked, eps, rows,
+    *refs,  # 2*rows x-strips, 13 params, bias, labels, [s1, s2,] out
+    heads, d, scale, ws, delta, masked, eps, rows, scaled=False,
 ):
     (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
      wfc1, bfc1, wfc2, bfc2) = refs[2 * rows : 2 * rows + 12]
-    bias_ref, labels_ref, out_ref = refs[-3], refs[-2], refs[-1]
+    if scaled:
+        bias_ref, labels_ref, s1_ref, s2_ref, out_ref = refs[-5:]
+    else:
+        bias_ref, labels_ref, out_ref = refs[-3], refs[-2], refs[-1]
     c = heads * d
     # -- strip assembly: 2*rows 4-row blocks of the v_in-space tensor give
     # the ws*rows rolled rows; column rotation completes the horizontal roll
@@ -308,6 +323,10 @@ def _block_kernel(
     w_img = xs.shape[1]
     k = w_img // ws  # windows per row
     n = ws * ws
+    if scaled:
+        bi = pl.program_id(0)
+        s1 = s1_ref[bi].astype(xs.dtype)
+        s2 = s2_ref[bi].astype(xs.dtype)
 
     shortcut = xs
     h = xs if ABLATE == "no_ln" else _layernorm(xs, ln1_s[...], ln1_b[...], eps)
@@ -317,8 +336,7 @@ def _block_kernel(
         qkv = _matmul(h, wqkv[...], bqkv[...])  # (ws*rows, W, 3C)
 
         # image rows -> (rows*k, n, 3C) windows (free in VMEM, mxu_probe26)
-        qkv = qkv.reshape(rows, ws, k, ws, 3 * c).transpose(0, 2, 1, 3, 4)
-        qkv = qkv.reshape(rows * k, n, 3 * c)
+        qkv = _windowize(qkv, rows, ws, k, 3 * c)
         if ABLATE == "no_attn":
             att = qkv[:, :, 2 * c : 3 * c]
         else:
@@ -327,10 +345,12 @@ def _block_kernel(
                 qkv, bias_ref[...], labels, heads=heads, d=d, scale=scale,
                 masked=masked, dtype=xs.dtype,
             )
-        att = att.reshape(rows, k, ws, ws, c).transpose(0, 2, 1, 3, 4)
-        att = att.reshape(rows * ws, w_img, c)
+        att = _unwindowize(att, rows, ws, k, c)
 
-    y = shortcut + _matmul(att, wproj[...], bproj[...])
+    proj = _matmul(att, wproj[...], bproj[...])
+    if scaled:
+        proj = proj * s1
+    y = shortcut + proj
     if ABLATE == "no_mlp":
         out_ref[0] = y
         return
@@ -341,7 +361,319 @@ def _block_kernel(
         z = jnp.maximum(z, 0)
     else:
         z = _gelu_fast(z) if fast else _gelu_exact(z)
-    out_ref[0] = y + _matmul(z, wfc2[...], bfc2[...])
+    mlp = _matmul(z, wfc2[...], bfc2[...])
+    if scaled:
+        mlp = mlp * s2
+    out_ref[0] = y + mlp
+
+
+# ---- fused backward (training) ----------------------------------------------
+#
+# One Pallas pass per block computes the WHOLE block VJP strip-by-strip:
+# recompute the forward chain from the x strip (same rotated strip assembly
+# as the forward), pull the output cotangent back through MLP -> LN2 ->
+# proj -> window attention -> qkv -> LN1, write the input-gradient strip,
+# and accumulate all 13 parameter gradients across grid steps (revisited
+# f32 outputs, chanstats-style).  The input gradient comes out in ROLL
+# space (the strip-aligned view); the wrapper applies one XLA roll.
+# Gradients are the exact VJP of the kernel's own forward formulation
+# (poly gelu / no-max softmax under the default knobs), so the primal and
+# its gradients are consistent — deviation from the XLA block's autodiff
+# is the same bf16-rounding class as the forward (tests/test_swinblock.py
+# checks f32 agreement against jax.vjp of reference_block).
+
+# window-rows per grid step for the backward kernel (its live set is ~2.5x
+# the forward's; ROWS=2 needs the raised VMEM ceiling below).
+BWD_ROWS = 1
+
+try:  # pltpu only needed for the raised scoped-VMEM ceiling
+    from jax.experimental.pallas import tpu as _pltpu
+
+    _BWD_COMPILER_PARAMS = _pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+except Exception:  # pragma: no cover
+    _BWD_COMPILER_PARAMS = None
+
+# d/du of the gelu polynomial S(u) (see _GELU_S)
+_GELU_SP = tuple(k * c_ for k, c_ in enumerate(_GELU_S))[1:]
+
+
+def _dgelu_fast(x):
+    xf = x.astype(jnp.float32)
+    xc = jnp.clip(xf, -4.0, 4.0)
+    u = xc * xc
+
+    def poly(cs):
+        acc = jnp.full_like(u, cs[-1])
+        for c_ in cs[-2::-1]:
+            acc = acc * u + c_
+        return acc
+
+    g = 0.5 + 2.0 * xc * (poly(_GELU_S) + u * poly(_GELU_SP))
+    return jnp.where(xf > 4.0, 1.0, jnp.where(xf < -4.0, 0.0, g))
+
+
+def _dgelu_exact(x):
+    xf = x.astype(jnp.float32)
+    phi = jnp.exp(-0.5 * xf * xf) * np.float32(1.0 / np.sqrt(2.0 * np.pi))
+    return 0.5 * (1.0 + _erf_f32(xf * np.float32(np.sqrt(0.5)))) + xf * phi
+
+
+def _layernorm_bwd(x, gamma, eps, dy):
+    """VJP of :func:`_layernorm` at ``x``: (dx, dgamma, dbeta); stats are
+    recomputed (f32 fast-variance, identical formulation)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * rstd
+    dyf = dy.astype(jnp.float32)
+    red = tuple(range(dy.ndim - 1))
+    dgamma = jnp.sum(dyf * xhat, axis=red)
+    dbeta = jnp.sum(dyf, axis=red)
+    gf = gamma.astype(x.dtype).astype(jnp.float32)
+    dxhat = dyf * gf
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = (rstd * (dxhat - m1 - xhat * m2)).astype(x.dtype)
+    return dx, dgamma, dbeta
+
+
+def _matmul_dx(g, w):
+    """dx of ``_matmul``: g @ w^T with the same dtype/accum policy."""
+    return jax.lax.dot_general(
+        g, w.astype(g.dtype), (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(g.dtype)
+
+
+def _matmul_dw(x, g):
+    """dW of ``_matmul``: x^T @ g over all leading dims, f32 accumulation."""
+    cin, cout = x.shape[-1], g.shape[-1]
+    x2 = x.reshape(-1, cin)
+    g2 = g.reshape(-1, cout)
+    return jax.lax.dot_general(
+        x2, g2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _attention_fwd_parts(qkv, bias, labels, *, heads, d, masked, dtype):
+    """Forward of the TRANSPOSED_HEADS+BATCHED_HEADS attention, returning
+    the output windows plus the residuals the backward needs:
+    (att_w (k2, n, C), qT, kT, vT (heads*k2, d, n), p32 (heads*k2, n, n))."""
+    k2, n, _ = qkv.shape
+    c = heads * d
+    qkvT = jnp.swapaxes(qkv, 1, 2)
+    qT = jnp.concatenate([qkvT[:, h * d : (h + 1) * d, :] for h in range(heads)], 0)
+    kT = jnp.concatenate(
+        [qkvT[:, c + h * d : c + (h + 1) * d, :] for h in range(heads)], 0
+    )
+    vT = jnp.concatenate(
+        [qkvT[:, 2 * c + h * d : 2 * c + (h + 1) * d, :] for h in range(heads)], 0
+    )
+    s = jax.lax.dot_general(
+        qT, kT, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    s = s + jnp.broadcast_to(bias[:, None], (heads, k2, n, n)).reshape(heads * k2, n, n)
+    if masked:
+        m = jnp.where(labels[:, None, :] != labels[:, :, None], _NEG, 0.0)
+        s = s + jnp.broadcast_to(m[None], (heads, k2, n, n)).reshape(heads * k2, n, n)
+    p32 = _softmax_f32(s)
+    p = p32.astype(dtype)
+    oT = jax.lax.dot_general(
+        vT, p, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(dtype)  # (heads*k2, d, n)
+    attT = jnp.concatenate([oT[h * k2 : (h + 1) * k2] for h in range(heads)], axis=1)
+    return jnp.swapaxes(attT, 1, 2), qT, kT, vT, p32
+
+
+def _attention_bwd_parts(datt_w, qT, kT, vT, p32, *, heads, d, dtype):
+    """VJP of the transposed-head attention given its forward residuals:
+    (k2, n, C) output cotangent -> (dqkv (k2, n, 3C), dbias (heads, n, n))."""
+    k2, n, _ = datt_w.shape
+    p = p32.astype(dtype)
+    dattT = jnp.swapaxes(datt_w, 1, 2)  # (k2, C, n)
+    doT = jnp.concatenate([dattT[:, h * d : (h + 1) * d, :] for h in range(heads)], 0)
+
+    # dP[b,i,j] = sum_d doT[b,d,i] vT[b,d,j]
+    dp = jax.lax.dot_general(
+        doT, vT, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    # dV^T[b,d,j] = sum_i doT[b,d,i] p[b,i,j]
+    dvT = jax.lax.dot_general(
+        doT, p, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(dtype)
+    ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))  # f32
+    dbias = jnp.sum(ds.reshape(heads, k2, n, n), axis=1)  # (heads, n, n) f32
+    ds_c = ds.astype(dtype)
+    # dQ^T[b,d,i] = sum_j kT[b,d,j] ds[b,i,j]
+    dqT = jax.lax.dot_general(
+        kT, ds_c, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(dtype)
+    # dK^T[b,d,j] = sum_i qT[b,d,i] ds[b,i,j]
+    dkT = jax.lax.dot_general(
+        qT, ds_c, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(dtype)
+
+    def regroup(tT):  # (heads*k2, d, n) -> (k2, C, n)
+        return jnp.concatenate([tT[h * k2 : (h + 1) * k2] for h in range(heads)], axis=1)
+
+    dqkvT = jnp.concatenate([regroup(dqT), regroup(dkT), regroup(dvT)], axis=1)
+    return jnp.swapaxes(dqkvT, 1, 2), dbias
+
+
+def _block_bwd_kernel(
+    *refs,  # 2*rows x-strips, 12 params, bias, labels, s1, s2, g, then outs
+    heads, d, ws, delta, masked, eps, rows,
+):
+    (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
+     wfc1, bfc1, wfc2, bfc2) = refs[2 * rows : 2 * rows + 12]
+    bias_ref, labels_ref, s1_ref, s2_ref, g_ref = refs[2 * rows + 12 : 2 * rows + 17]
+    (dx_ref, dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dwp_ref, dbp_ref,
+     dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dbias_ref) = refs[2 * rows + 17 :]
+    c = heads * d
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        for r in (dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dwp_ref, dbp_ref,
+                  dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dbias_ref):
+            r[...] = jnp.zeros_like(r)
+
+    # -- forward recompute (same strip assembly / math as _block_kernel)
+    xs = jnp.concatenate([r[0] for r in refs[: 2 * rows]], axis=0)
+    if delta:
+        xs = jnp.concatenate([xs[:, delta:, :], xs[:, :delta, :]], axis=1)
+    w_img = xs.shape[1]
+    k = w_img // ws
+    n = ws * ws
+    k2 = rows * k
+    dt = xs.dtype
+    bi = pl.program_id(0)
+    s1 = s1_ref[bi].astype(dt)
+    s2 = s2_ref[bi].astype(dt)
+
+    h1 = _layernorm(xs, ln1_s[...], ln1_b[...], eps)
+    qkv = _matmul(h1, wqkv[...], bqkv[...])
+    qkv_w = _windowize(qkv, rows, ws, k, 3 * c)
+    labels = labels_ref[...].reshape(k2, n) if masked else None
+    att_w, qT, kT, vT, p32 = _attention_fwd_parts(
+        qkv_w, bias_ref[...], labels, heads=heads, d=d, masked=masked, dtype=dt
+    )
+    att = _unwindowize(att_w, rows, ws, k, c)
+    y = xs + _matmul(att, wproj[...], bproj[...]) * s1
+    h2 = _layernorm(y, ln2_s[...], ln2_b[...], eps)
+    z1 = _matmul(h2, wfc1[...], bfc1[...])
+    fast = FAST_GELU is True or (FAST_GELU == "auto" and z1.dtype == jnp.bfloat16)
+    zg = _gelu_fast(z1) if fast else _gelu_exact(z1)
+
+    # -- backward chain
+    g = g_ref[0]  # (rows*ws, W, C), output cotangent (aligned strip)
+    gmlp = g * s2
+    dw2_ref[...] += _matmul_dw(zg, gmlp)
+    db2_ref[...] += jnp.sum(gmlp.astype(jnp.float32), axis=(0, 1))
+    dz = _matmul_dx(gmlp, wfc2[...])
+    dgel = (_dgelu_fast(z1) if fast else _dgelu_exact(z1))
+    dz1 = (dz.astype(jnp.float32) * dgel).astype(dt)
+    dw1_ref[...] += _matmul_dw(h2, dz1)
+    db1_ref[...] += jnp.sum(dz1.astype(jnp.float32), axis=(0, 1))
+    dh2 = _matmul_dx(dz1, wfc1[...])
+    dy_ln, dg2, db2v = _layernorm_bwd(y, ln2_s[...], eps, dh2)
+    dln2s_ref[...] += dg2
+    dln2b_ref[...] += db2v
+    dy1 = g + dy_ln
+
+    gproj = dy1 * s1
+    dwp_ref[...] += _matmul_dw(att, gproj)
+    dbp_ref[...] += jnp.sum(gproj.astype(jnp.float32), axis=(0, 1))
+    datt = _matmul_dx(gproj, wproj[...])
+    datt_w = _windowize(datt, rows, ws, k, c)
+    dqkv_w, dbias = _attention_bwd_parts(
+        datt_w, qT, kT, vT, p32, heads=heads, d=d, dtype=dt
+    )
+    dbias_ref[...] += dbias
+    dqkv = _unwindowize(dqkv_w, rows, ws, k, 3 * c)
+    dwqkv_ref[...] += _matmul_dw(h1, dqkv)
+    dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
+    dh1 = _matmul_dx(dqkv, wqkv[...])
+    dx_ln, dg1, db1v = _layernorm_bwd(xs, ln1_s[...], eps, dh1)
+    dln1s_ref[...] += dg1
+    dln1b_ref[...] += db1v
+    dx_ref[0] = dy1 + dx_ln
+
+
+def _pallas_block_bwd(x, g, params, scales, *, heads, ws, delta, shift,
+                      mask_hw, eps, interpret):
+    """Backward pallas call: returns (dx_rolled, *param_grads) where
+    dx_rolled is the cotangent of roll(x, (-delta, -delta)) — the caller
+    rolls it back (+delta).  param_grads are f32 in _fused_params order."""
+    b, h_img, w_img, c = x.shape
+    d = c // heads
+    n = ws * ws
+    nrows = h_img // ws
+    rows, nq, half, off = _strip_plan(h_img, w_img, c, ws, delta, rows_cap=BWD_ROWS)
+    grid = (b, nrows // rows)
+
+    (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
+     wfc1, bfc1, wfc2, bfc2, bias_rp) = params
+    hidden = wfc1.shape[1]
+    masked = mask_hw is not None
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, half, w_img, c),
+            lambda bi, i, jj=j: (bi, (2 * rows * i + jj + off) % nq, 0, 0),
+        )
+        for j in range(2 * rows)
+    ] + _param_specs(c, hidden, heads, n)
+    operands = [x] * (2 * rows) + [ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+                                   ln2_s, ln2_b, wfc1, bfc1, wfc2, bfc2, bias_rp]
+    lab_op, lab_spec = _labels_operand(masked, mask_hw, ws, shift, w_img, rows, n)
+    operands.append(lab_op)
+    in_specs.append(lab_spec)
+    s1, s2 = scales
+    sspec = pl.BlockSpec((b,), lambda bi, i: (0,))
+    operands += [s1.astype(jnp.float32), s2.astype(jnp.float32)]
+    in_specs += [sspec, sspec]
+    operands.append(g)
+    in_specs.append(pl.BlockSpec((1, rows * ws, w_img, c), lambda bi, i: (bi, i, 0, 0)))
+
+    const = lambda bi, i: (0, 0)
+    const1 = lambda bi, i: (0,)
+    acc = jnp.float32
+    out_specs = [
+        pl.BlockSpec((1, rows * ws, w_img, c), lambda bi, i: (bi, i, 0, 0)),
+        pl.BlockSpec((c,), const1), pl.BlockSpec((c,), const1),
+        pl.BlockSpec((c, 3 * c), const), pl.BlockSpec((3 * c,), const1),
+        pl.BlockSpec((c, c), const), pl.BlockSpec((c,), const1),
+        pl.BlockSpec((c,), const1), pl.BlockSpec((c,), const1),
+        pl.BlockSpec((c, hidden), const), pl.BlockSpec((hidden,), const1),
+        pl.BlockSpec((hidden, c), const), pl.BlockSpec((c,), const1),
+        pl.BlockSpec((heads, n, n), lambda bi, i: (0, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h_img, w_img, c), x.dtype),
+        jax.ShapeDtypeStruct((c,), acc), jax.ShapeDtypeStruct((c,), acc),
+        jax.ShapeDtypeStruct((c, 3 * c), acc), jax.ShapeDtypeStruct((3 * c,), acc),
+        jax.ShapeDtypeStruct((c, c), acc), jax.ShapeDtypeStruct((c,), acc),
+        jax.ShapeDtypeStruct((c,), acc), jax.ShapeDtypeStruct((c,), acc),
+        jax.ShapeDtypeStruct((c, hidden), acc), jax.ShapeDtypeStruct((hidden,), acc),
+        jax.ShapeDtypeStruct((hidden, c), acc), jax.ShapeDtypeStruct((c,), acc),
+        jax.ShapeDtypeStruct((heads, n, n), acc),
+    ]
+    kernel = functools.partial(
+        _block_bwd_kernel, heads=heads, d=d, ws=ws,
+        delta=delta, masked=masked, eps=eps, rows=rows,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret else _BWD_COMPILER_PARAMS,
+    )(*operands)
 
 
 def _window_group_labels(h, w, window_size, shift_size):
@@ -360,40 +692,24 @@ def _window_group_labels(h, w, window_size, shift_size):
     return lab.astype(np.float32)
 
 
-def _pallas_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps, interpret):
-    b, h_img, w_img, c = x.shape
-    d = c // heads
-    n = ws * ws
+def _strip_plan(h_img, w_img, c, ws, delta, rows_cap=None, vmem_rows=1 << 18):
+    """(rows, nq, half, off): window-rows per grid step (largest configured
+    count that divides the image and keeps the strip inside the calibrated
+    VMEM bound), 4-row strip count, half window, and the strip-pick offset."""
     nrows = h_img // ws
-    # window-rows per grid step: the largest configured count that divides
-    # the image and keeps the strip inside the ROWS=1-calibrated VMEM bound
     rows = 1
-    for cand in range(ROWS, 1, -1):
-        if nrows % cand == 0 and cand * ws * w_img * c <= 1 << 18:
+    for cand in range((rows_cap or ROWS), 1, -1):
+        if nrows % cand == 0 and cand * ws * w_img * c <= vmem_rows:
             rows = cand
             break
-    nq = h_img // (ws // 2)  # 4-row strip count
     half = ws // 2
-    grid = (b, nrows // rows)
+    return rows, h_img // half, half, delta // half
 
-    # strip picks: rolled rows [rows*ws*i + delta, +rows*ws) of the
-    # v_in-space tensor = 4-row strips 2*rows*i + j + delta/half (mod nq)
-    off = delta // half
-    const = lambda bi, i: tuple(0 for _ in range(2))
+
+def _param_specs(c, hidden, heads, n):
+    const = lambda bi, i: (0, 0)
     const1 = lambda bi, i: (0,)
-
-    (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
-     wfc1, bfc1, wfc2, bfc2, bias_rp) = params
-    hidden = wfc1.shape[1]
-
-    masked = mask_hw is not None
-    in_specs = [
-        pl.BlockSpec(
-            (1, half, w_img, c),
-            lambda bi, i, jj=j: (bi, (2 * rows * i + jj + off) % nq, 0, 0),
-        )
-        for j in range(2 * rows)
-    ] + [
+    return [
         pl.BlockSpec((c,), const1),
         pl.BlockSpec((c,), const1),
         pl.BlockSpec((c, 3 * c), const),
@@ -408,22 +724,53 @@ def _pallas_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps, in
         pl.BlockSpec((c,), const1),
         pl.BlockSpec((heads, n, n), lambda bi, i: (0, 0, 0)),
     ]
-    operands = [x] * (2 * rows) + [ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
-                                   ln2_s, ln2_b, wfc1, bfc1, wfc2, bfc2, bias_rp]
+
+
+def _labels_operand(masked, mask_hw, ws, shift, w_img, rows, n):
     if masked:
         labels = _window_group_labels(*mask_hw, ws, shift)  # numpy (nHw, nWw, n)
-        in_specs.append(
-            pl.BlockSpec((rows, w_img // ws, n), lambda bi, i: (i, 0, 0))
+        return labels, pl.BlockSpec((rows, w_img // ws, n), lambda bi, i: (i, 0, 0))
+    # dummy single-block operand so the kernel arity is static
+    return jnp.zeros((1, 1, n), jnp.float32), pl.BlockSpec((1, 1, n), lambda bi, i: (0, 0, 0))
+
+
+def _pallas_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps,
+                  interpret, scales=None):
+    b, h_img, w_img, c = x.shape
+    d = c // heads
+    n = ws * ws
+    nrows = h_img // ws
+    rows, nq, half, off = _strip_plan(h_img, w_img, c, ws, delta)
+    grid = (b, nrows // rows)
+
+    (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
+     wfc1, bfc1, wfc2, bfc2, bias_rp) = params
+    hidden = wfc1.shape[1]
+
+    masked = mask_hw is not None
+    # strip picks: rolled rows [rows*ws*i + delta, +rows*ws) of the
+    # v_in-space tensor = 4-row strips 2*rows*i + j + delta/half (mod nq)
+    in_specs = [
+        pl.BlockSpec(
+            (1, half, w_img, c),
+            lambda bi, i, jj=j: (bi, (2 * rows * i + jj + off) % nq, 0, 0),
         )
-        operands.append(labels)
-    else:
-        # dummy single-block operand so the kernel arity is static
-        in_specs.append(pl.BlockSpec((1, 1, n), lambda bi, i: (0, 0, 0)))
-        operands.append(jnp.zeros((1, 1, n), jnp.float32))
+        for j in range(2 * rows)
+    ] + _param_specs(c, hidden, heads, n)
+    operands = [x] * (2 * rows) + [ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+                                   ln2_s, ln2_b, wfc1, bfc1, wfc2, bfc2, bias_rp]
+    lab_op, lab_spec = _labels_operand(masked, mask_hw, ws, shift, w_img, rows, n)
+    operands.append(lab_op)
+    in_specs.append(lab_spec)
+    if scales is not None:
+        s1, s2 = scales
+        sspec = pl.BlockSpec((x.shape[0],), lambda bi, i: (0,))
+        operands += [s1.astype(jnp.float32), s2.astype(jnp.float32)]
+        in_specs += [sspec, sspec]
 
     kernel = functools.partial(
         _block_kernel, heads=heads, d=d, scale=scale, ws=ws,
-        delta=delta, masked=masked, eps=eps, rows=rows,
+        delta=delta, masked=masked, eps=eps, rows=rows, scaled=scales is not None,
     )
     return pl.pallas_call(
         kernel,
@@ -435,11 +782,13 @@ def _pallas_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps, in
     )(*operands)
 
 
-def reference_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps):
+def reference_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps,
+                    scales=None):
     """XLA twin of the fused kernel — identical roll-space contract
     (input at offset v_in, output at offset ``shift``), built from the
     same formulation the unfused model path uses.  VJP recompute target
-    and CPU parity oracle."""
+    and CPU parity oracle.  ``scales``: optional per-sample DropPath
+    keep-scales (s1, s2) as in :func:`fused_swin_block_train`."""
     from . import winattn
 
     (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
@@ -455,6 +804,11 @@ def reference_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps):
     def lin(t, w, b_):
         return _matmul(t, w, b_)
 
+    s1 = s2 = None
+    if scales is not None:
+        s1 = scales[0].astype(x.dtype)[:, None, None, None]
+        s2 = scales[1].astype(x.dtype)[:, None, None, None]
+
     h = ln(x, ln1_s, ln1_b)
     qkv = lin(h, wqkv, bqkv)
     if mask_hw is None:
@@ -464,10 +818,12 @@ def reference_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps):
 
         mask = _shift_attn_mask(*mask_hw, ws, shift)
     att = winattn.reference_window_attention_2d(qkv, bias_rp, mask, scale, heads, ws)
-    y = shortcut + lin(att, wproj, bproj)
+    proj = lin(att, wproj, bproj)
+    y = shortcut + (proj if s1 is None else proj * s1)
     h2 = ln(y, ln2_s, ln2_b)
     z = jax.nn.gelu(lin(h2, wfc1, bfc1), approximate=False)
-    return y + lin(z, wfc2, bfc2)
+    mlp = lin(z, wfc2, bfc2)
+    return y + (mlp if s2 is None else mlp * s2)
 
 
 @functools.lru_cache(maxsize=64)
@@ -524,6 +880,68 @@ def fused_swin_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps)
     return fn(x, *params)
 
 
+@functools.lru_cache(maxsize=64)
+def _train_fn(heads, ws, delta, shift, mask_hw, eps, interpret, knobs):
+    del knobs  # cache-key only
+
+    @jax.custom_vjp
+    def block(x, s1, s2, *params):
+        return _pallas_block(
+            x, params, heads=heads, scale=1.0, ws=ws, delta=delta,
+            shift=shift, mask_hw=mask_hw, eps=eps, interpret=interpret,
+            scales=(s1, s2),
+        )
+
+    def fwd(x, s1, s2, *params):
+        return block(x, s1, s2, *params), (x, s1, s2, params)
+
+    def bwd(res, g):
+        x, s1, s2, params = res
+        outs = _pallas_block_bwd(
+            x, g, params, (s1, s2), heads=heads, ws=ws, delta=delta,
+            shift=shift, mask_hw=mask_hw, eps=eps, interpret=interpret,
+        )
+        dxr, grads = outs[0], outs[1:]
+        dx = jnp.roll(dxr, (delta, delta), axis=(1, 2)) if delta else dxr
+        grads = tuple(gr.astype(p.dtype) for gr, p in zip(grads, params))
+        return (dx, jnp.zeros_like(s1), jnp.zeros_like(s2), *grads)
+
+    block.defvjp(fwd, bwd)
+    return block
+
+
+def fused_swin_block_train(x, params, s1, s2, *, heads, scale, ws, delta, shift,
+                           mask_hw, eps):
+    """Training twin of :func:`fused_swin_block`: forward runs the fused
+    kernel with per-sample DropPath keep-scales ``s1``/``s2`` ((B,) float,
+    mask/keep_prob — ones when stochastic depth is off), and the backward
+    is the fused whole-block VJP kernel (one pallas pass: forward
+    recompute + full gradient chain + parameter-grad accumulation across
+    the grid).  Gradients are the exact VJP of the kernel's own forward
+    formulation; agreement with autodiff of the XLA reference block is
+    checked in tests/test_swinblock.py.  Requires the default knob combo
+    (batched transposed heads, no deferred norm)."""
+    if not (BATCHED_HEADS and TRANSPOSED_HEADS and not DEFER_NORM):
+        raise NotImplementedError(
+            "fused_swin_block_train supports only the default knob combination "
+            "(BATCHED_HEADS, TRANSPOSED_HEADS, DEFER_NORM=False)."
+        )
+    # always fold the attention scale (differentiable trace-level fold, see
+    # fused_swin_block): the train kernels run at scale 1
+    (ln1_s, ln1_b, wqkv, bqkv, *rest) = params
+    c = wqkv.shape[0]
+    if float(scale) != 1.0:
+        colscale = jnp.concatenate(
+            [jnp.full((c,), float(scale), wqkv.dtype), jnp.ones((2 * c,), wqkv.dtype)]
+        )
+        params = (ln1_s, ln1_b, wqkv * colscale, bqkv * colscale, *rest)
+    fn = _train_fn(
+        heads, ws, int(delta), int(shift), mask_hw, float(eps),
+        MODE == "interpret", _knobs(),
+    )
+    return fn(x, s1, s2, *params)
+
+
 def eligible(b, h_img, w_img, c, heads, ws, backend=None) -> bool:
     """Fused-block gating: TPU (or interpret mode), ws-aligned even strips,
     VMEM-sized rows, and enough grid steps to amortize the kernel's
@@ -548,3 +966,12 @@ def eligible(b, h_img, w_img, c, heads, ws, backend=None) -> bool:
         return False
     # per-strip VMEM residency ~ 12 bf16 copies of (ws, W, C) + f32 temps
     return ws * w_img * c <= 1 << 18
+
+
+def eligible_train(b, h_img, w_img, c, heads, ws, backend=None) -> bool:
+    """Gating for the fused TRAIN path (forward + whole-block VJP kernel):
+    the inference gates plus the knob combination the backward kernel
+    implements."""
+    if not (BATCHED_HEADS and TRANSPOSED_HEADS and not DEFER_NORM):
+        return False
+    return eligible(b, h_img, w_img, c, heads, ws, backend)

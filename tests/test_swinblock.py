@@ -161,10 +161,11 @@ def test_train_mode_with_drop_path_keeps_unfused_path(monkeypatch):
 
 
 def test_train_mode_gates_fused_paths_even_without_dropout():
-    """The fused kernels are inference-only (their VJP recomputes the XLA
-    forward, so training through them pays kernel fwd + XLA fwd + XLA
-    bwd).  With every drop rate 0 the gate must still hold in train mode
-    via the eval-toggled ``deterministic`` flag."""
+    """The INFERENCE fused chain (_fused_chain_ok) stays eval-only via the
+    ``deterministic`` flag even with every drop rate 0 — training goes
+    through _fused_train_ok (the whole-block VJP kernels) instead, whose
+    gradients are the kernel-forward's own VJP rather than bit-equal to
+    the eval chain."""
     model = SwinIR(
         image_size=32, depths=[2, 2], num_heads=[6, 6], scale=4, drop_path_rate=0.0
     )
@@ -176,3 +177,118 @@ def test_train_mode_gates_fused_paths_even_without_dropout():
     model.eval()
     assert layer.blocks[0].attn.deterministic
     assert layer._fused_chain_ok(1, 32, 32, C)
+
+
+@pytest.mark.parametrize("delta,shift,masked", [(0, 0, False), (4, 4, True)])
+def test_train_kernel_grads_match_reference(delta, shift, masked):
+    """fused_swin_block_train's whole-block VJP kernel vs jax.vjp of the
+    XLA reference block, f32, all cotangents (x, every param), with live
+    per-sample DropPath scales."""
+    rng = np.random.default_rng(20 + delta)
+    B = 2
+    x = jnp.asarray(rng.standard_normal((B, 16, 16, C)).astype(np.float32))
+    params = _params(rng, jnp.float32)
+    s1 = jnp.asarray([1.25, 0.0], jnp.float32)
+    s2 = jnp.asarray([0.0, 1.25], jnp.float32)
+    kw = dict(heads=HEADS, scale=SCALE, ws=WS, delta=delta, shift=shift,
+              mask_hw=(16, 16) if masked else None, eps=1e-6)
+
+    def loss_f(x_, params_):
+        return jnp.sum(swinblock.fused_swin_block_train(x_, params_, s1, s2, **kw) ** 2)
+
+    def loss_r(x_, params_):
+        return jnp.sum(
+            swinblock.reference_block(x_, params_, scales=(s1, s2), **kw) ** 2
+        )
+
+    vf, gf = jax.value_and_grad(loss_f, argnums=(0, 1))(x, params)
+    vr, gr = jax.value_and_grad(loss_r, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+    for a, e in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_train_kernel_bf16_grads_reasonable():
+    """bf16 train path: gradients stay in the bf16-rounding class of the
+    reference autodiff (the kernel's poly-gelu/no-max-softmax forward is
+    itself in that class)."""
+    rng = np.random.default_rng(31)
+    B = 2
+    x = jnp.asarray(rng.standard_normal((B, 16, 16, C)), jnp.bfloat16)
+    params = _params(rng, jnp.bfloat16)
+    ones = jnp.ones((B,), jnp.float32)
+    kw = dict(heads=HEADS, scale=SCALE, ws=WS, delta=4, shift=4,
+              mask_hw=(16, 16), eps=1e-6)
+
+    def loss_f(x_):
+        return jnp.sum(
+            swinblock.fused_swin_block_train(x_, params, ones, ones, **kw).astype(jnp.float32) ** 2
+        )
+
+    def loss_r(x_):
+        return jnp.sum(
+            swinblock.reference_block(x_, params, **kw).astype(jnp.float32) ** 2
+        )
+
+    gf = np.asarray(jax.grad(loss_f)(x), np.float32)
+    gr = np.asarray(jax.grad(loss_r)(x), np.float32)
+    scale_ = max(1.0, np.abs(gr).max())
+    assert np.abs(gf - gr).max() <= 0.05 * scale_
+
+
+def test_full_model_train_step_fused_matches_unfused():
+    """Train-mode fused chain (fused fwd + whole-block VJP kernels) vs the
+    unfused XLA path: loss and parameter gradients agree (f32,
+    drop_path_rate=0 so both paths are deterministic)."""
+    from flax import nnx
+
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (1, 1, 32, 32)), jnp.float32
+    )
+    tgt = jnp.asarray(
+        np.random.default_rng(1).integers(0, 255, (1, 1, 128, 128)), jnp.float32
+    )
+    model = SwinIR(
+        image_size=32, depths=[2, 2], num_heads=[6, 6], scale=4, drop_path_rate=0.0
+    )
+    model.train()
+
+    def loss_fn(m):
+        return jnp.mean((m(x) - tgt) ** 2)
+
+    swinblock.MODE = "off"
+    l_off = float(loss_fn(model))
+    g_off = nnx.grad(loss_fn)(model)
+    swinblock.MODE = "interpret"
+    l_on = float(loss_fn(model))
+    g_on = nnx.grad(loss_fn)(model)
+    assert abs(l_on - l_off) <= 1e-3 * max(1.0, abs(l_off))
+    leaves_on = jax.tree.leaves(g_on)
+    leaves_off = jax.tree.leaves(g_off)
+    assert len(leaves_on) == len(leaves_off)
+    for a, e in zip(leaves_on, leaves_off):
+        a, e = np.asarray(a, np.float32), np.asarray(e, np.float32)
+        tol = 1e-4 * max(1.0, np.abs(e).max())
+        np.testing.assert_allclose(a, e, atol=max(tol, 1e-7), rtol=2e-3)
+
+
+def test_drop_path_scales_distribution():
+    """drop_path_scales: per-sample {0, 1/keep} values with the DropPathTok
+    keep probability; ones when stochastic depth is off or in eval."""
+    model = SwinIR(image_size=32, depths=[2], num_heads=[6], scale=4, drop_path_rate=0.5)
+    model.train()
+    blk = model.layers[0].residual_group.blocks[-1]
+    keep = 1.0 - blk.drop_path.drop.rate
+    vals = []
+    for _ in range(40):
+        s1, s2 = blk.drop_path_scales(4)
+        vals += [np.asarray(s1), np.asarray(s2)]
+    v = np.concatenate(vals)
+    assert set(np.unique(v)).issubset({0.0, np.float32(1.0 / keep)})
+    frac = (v > 0).mean()
+    assert 0.75 * keep <= frac <= 1.25 * keep
+    model.eval()
+    s1, s2 = blk.drop_path_scales(4)
+    assert np.all(np.asarray(s1) == 1.0) and np.all(np.asarray(s2) == 1.0)
