@@ -1,0 +1,83 @@
+"""Quality gate for the fused SwinIR train path: loss trajectories of the
+SAME training run (identical seeds/data, drop_path_rate=0 so both paths
+are deterministic) through the fused whole-block VJP kernels vs the
+unfused XLA blocks, on real TPU.
+
+The fused forward is in the bf16-rounding class of the XLA block
+(poly gelu / no-max softmax, rel ~5.7e-3 — mxu_probe30) and its backward
+is the exact VJP of that forward, so trajectories should track within
+bf16 training noise; a formulation bug would diverge fast.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+STEPS = int(os.environ.get("TRAJ_STEPS", 60))
+B = int(os.environ.get("TRAJ_BATCH", 8))
+
+
+def run(mode):
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from pssr2_tpu.crappifiers import Poisson
+    from pssr2_tpu.data.pipeline import make_device_gen_pair
+    from pssr2_tpu.models import SwinIR
+    from pssr2_tpu.ops.pallas import swinblock
+    from pssr2_tpu.optim import AdamW
+    from pssr2_tpu.train import _build_paired_steps
+    from pssr2_tpu.util import SSIMLoss
+
+    swinblock.MODE = mode
+    base = make_device_gen_pair(4, Poisson(), None, augment=True)
+    model = SwinIR(image_size=128, dtype=jnp.bfloat16, drop_path_rate=0.0)
+    model.train()
+    optim = AdamW(1e-3)
+    optimizer = nnx.Optimizer(model, optim.tx, wrt=nnx.Param)
+    step, _ = _build_paired_steps(
+        SSIMLoss(mix=0.8, ms=True), False, lambda key, batch, augment: base(key, batch)
+    )
+    step = nnx.cached_partial(step, model, optimizer)
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(rng.integers(0, 255, (STEPS, B, 1, 512, 512)).astype(np.uint8))
+    losses = []
+    for i in range(STEPS):
+        key = jax.random.key(i)
+        loss, _, _ = step(hr[i], None, key, optim.lr, B, False)
+        losses.append(float(loss))
+    return losses
+
+
+def main():
+    import jax
+
+    print(f"devices: {jax.devices()}", flush=True)
+    fused = run("auto")
+    print(json.dumps({"mode": "fused", "first": fused[0], "last": fused[-1]}), flush=True)
+    unfused = run("off")
+    print(json.dumps({"mode": "unfused", "first": unfused[0], "last": unfused[-1]}), flush=True)
+    f = np.asarray(fused)
+    u = np.asarray(unfused)
+    rel = np.abs(f - u) / np.maximum(np.abs(u), 1e-6)
+    out = {
+        "steps": STEPS,
+        "batch": B,
+        "loss_fused_first_last": [fused[0], fused[-1]],
+        "loss_unfused_first_last": [unfused[0], unfused[-1]],
+        "max_rel_dev": float(rel.max()),
+        "mean_rel_dev_last10": float(rel[-10:].mean()),
+    }
+    print(json.dumps(out), flush=True)
+    with open(os.path.join(HERE, "swinir_train_traj.json"), "w") as fjson:
+        json.dump({"fused": fused, "unfused": unfused, **out}, fjson, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -175,6 +175,12 @@ FOLD_QK_SCALE = True
 ABLATE = "none"
 
 
+def _pltpu_smem():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.SMEM
+
+
 def _knobs():
     return (ROWS, BATCHED_HEADS, DEFER_NORM, FAST_GELU, TRANSPOSED_HEADS,
             NOMAX_SOFTMAX, FOLD_QK_SCALE, ABLATE)
@@ -632,7 +638,7 @@ def _pallas_block_bwd(x, g, params, scales, *, heads, ws, delta, shift,
     operands.append(lab_op)
     in_specs.append(lab_spec)
     s1, s2 = scales
-    sspec = pl.BlockSpec((b,), lambda bi, i: (0,))
+    sspec = pl.BlockSpec((b,), lambda bi, i: (0,), memory_space=_pltpu_smem())
     operands += [s1.astype(jnp.float32), s2.astype(jnp.float32)]
     in_specs += [sspec, sspec]
     operands.append(g)
@@ -764,7 +770,12 @@ def _pallas_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps,
     in_specs.append(lab_spec)
     if scales is not None:
         s1, s2 = scales
-        sspec = pl.BlockSpec((x.shape[0],), lambda bi, i: (0,))
+        # SMEM: the kernel reads s[program_id(0)] — a dynamic scalar index,
+        # which VMEM vector loads cannot express (Mosaic requires 128-aligned
+        # vector loads); SMEM supports it natively.
+        sspec = pl.BlockSpec(
+            (x.shape[0],), lambda bi, i: (0,), memory_space=_pltpu_smem()
+        )
         operands += [s1.astype(jnp.float32), s2.astype(jnp.float32)]
         in_specs += [sspec, sspec]
 
