@@ -183,7 +183,7 @@ def _pltpu_smem():
 
 def _knobs():
     return (ROWS, BATCHED_HEADS, DEFER_NORM, FAST_GELU, TRANSPOSED_HEADS,
-            NOMAX_SOFTMAX, FOLD_QK_SCALE, ABLATE)
+            NOMAX_SOFTMAX, FOLD_QK_SCALE, ABLATE, BWD_ROWS)
 
 
 def _softmax_f32(s):
@@ -389,8 +389,9 @@ def _block_kernel(
 # checks f32 agreement against jax.vjp of reference_block).
 
 # window-rows per grid step for the backward kernel (its live set is ~2.5x
-# the forward's; ROWS=2 needs the raised VMEM ceiling below).
-BWD_ROWS = 1
+# the forward's; 2 needs the raised VMEM ceiling below and wins 161.2 ->
+# 156.5 ms on the canonical train step — experiments/mxu_probe39).
+BWD_ROWS = 2
 
 try:  # pltpu only needed for the raised scoped-VMEM ceiling
     from jax.experimental.pallas import tpu as _pltpu
