@@ -49,9 +49,11 @@ from jax import lax
 #             activation layout ({3,0,2,1}: C lanes, N sublanes) — the
 #             round-2 composed +6.5 ms was the relayout copies the
 #             UNtransposed operands forced (mxu_probe16)
-STATS_FWD = "dual"
+STATS_FWD = "axes"
 # Backward-stats formulation: same menu for the (sum(gy), sum(gy*x)) pair.
-STATS_BWD = "dual"
+# "axes" fwd+bwd measured the probe38 winner (44.39 -> 43.92 ms canonical
+# step, consistent across interleaved trials).
+STATS_BWD = "axes"
 
 
 def _reduce_pair(mode, x, y):

@@ -699,13 +699,18 @@ def _window_group_labels(h, w, window_size, shift_size):
     return lab.astype(np.float32)
 
 
-def _strip_plan(h_img, w_img, c, ws, delta, rows_cap=None, vmem_rows=1 << 18):
+def _strip_plan(h_img, w_img, c, ws, delta, rows_cap=None, vmem_rows=None):
     """(rows, nq, half, off): window-rows per grid step (largest configured
     count that divides the image and keeps the strip inside the calibrated
-    VMEM bound), 4-row strip count, half window, and the strip-pick offset."""
+    VMEM bound — which scales with the requested cap, since the raised
+    compiler vmem ceiling admits bigger strips), 4-row strip count, half
+    window, and the strip-pick offset."""
+    cap = rows_cap or ROWS
+    if vmem_rows is None:
+        vmem_rows = (1 << 17) * max(2, cap)
     nrows = h_img // ws
     rows = 1
-    for cand in range((rows_cap or ROWS), 1, -1):
+    for cand in range(cap, 1, -1):
         if nrows % cand == 0 and cand * ws * w_img * c <= vmem_rows:
             rows = cand
             break
@@ -791,6 +796,7 @@ def _pallas_block(x, params, *, heads, scale, ws, delta, shift, mask_hw, eps,
         out_specs=pl.BlockSpec((1, rows * ws, w_img, c), lambda bi, i: (bi, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h_img, w_img, c), x.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else _BWD_COMPILER_PARAMS,
     )(*operands)
 
 

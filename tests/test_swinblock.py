@@ -292,3 +292,31 @@ def test_drop_path_scales_distribution():
     model.eval()
     s1, s2 = blk.drop_path_scales(4)
     assert np.all(np.asarray(s1) == 1.0) and np.all(np.asarray(s2) == 1.0)
+
+
+def test_full_model_train_step_with_active_drop_path():
+    """Fused train chain with stochastic depth LIVE: drop_path keys draw
+    from the module's rng stream inside the grad trace; loss/grads stay
+    finite and successive steps see different masks (rng state advances)."""
+    from flax import nnx
+
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (2, 1, 32, 32)), jnp.float32
+    )
+    model = SwinIR(
+        image_size=32, depths=[2, 2], num_heads=[6, 6], scale=4, drop_path_rate=0.5
+    )
+    model.train()
+
+    def loss_fn(m):
+        return jnp.mean(m(x) ** 2)
+
+    swinblock.MODE = "interpret"
+    layer = model.layers[0].residual_group
+    assert layer._fused_train_ok(2, 32, 32, C)
+    l1, g1 = nnx.value_and_grad(loss_fn)(model)
+    l2, g2 = nnx.value_and_grad(loss_fn)(model)
+    for v in (l1, l2, *jax.tree.leaves(g1)):
+        assert np.all(np.isfinite(np.asarray(v, np.float32)))
+    # different masks across calls: losses differ with rate 0.5 on 8 blocks
+    assert float(l1) != float(l2)
