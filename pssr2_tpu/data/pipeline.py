@@ -77,15 +77,28 @@ def make_device_gen_pair(lr_scale: int, crappifier, n_frames=None, augment: bool
             out[i] = np.asarray(sample, dtype=np.float32)
         return out
 
-    def gen_pair(key, hr_u8):
+    def gen_pair(key, hr_u8, key_block=None):
+        """``key_block=(offset, total)``: this call holds rows
+        [offset, offset+B) of a ``total``-sample global batch — per-sample
+        keys are split from the GLOBAL counts and sliced, so a shard_map
+        shard degrades bit-identically to the same rows in the
+        single-program path (``offset`` may be traced, e.g.
+        ``axis_index * local_B``)."""
         b = hr_u8.shape[0]
+
+        def _keys(k):
+            if key_block is None:
+                return jax.random.split(k, b)
+            offset, total = key_block
+            return jax.lax.dynamic_slice_in_dim(jax.random.split(k, total), offset, b, 0)
+
         if augment:
             # Augment in uint8: rot90/flip are pure permutations, so they
             # commute with astype bit-exactly — and the vmapped cond/switch
             # materializes every branch, so doing it pre-convert moves 4x
             # fewer bytes (the profiled "f32 NCHW 512^2 boundary" copies).
             k_aug, key = jax.random.split(key)
-            hr_u8 = jax.vmap(device_augment)(jax.random.split(k_aug, b), hr_u8)
+            hr_u8 = jax.vmap(device_augment)(_keys(k_aug), hr_u8)
         hr = hr_u8.astype(jnp.float32)
 
         lr_res = hr.shape[-1] // lr_scale
@@ -93,7 +106,7 @@ def make_device_gen_pair(lr_scale: int, crappifier, n_frames=None, augment: bool
         lr = jnp.clip(jnp.round(lr), 0, 255)  # uint8 rounding, as PIL produces
 
         if crappify_fn is not None:
-            lr = jax.vmap(crappify_fn)(jax.random.split(key, b), lr)
+            lr = jax.vmap(crappify_fn)(_keys(key), lr)
             lr = jnp.clip(jnp.round(lr), 0, 255)
         elif host_crappifier is not None:
             from jax.experimental import io_callback

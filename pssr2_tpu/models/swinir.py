@@ -298,9 +298,17 @@ class SwinTransformerBlock(nnx.Module):
             ones = jnp.ones((b,), jnp.float32)
             return ones, ones
         keep = 1.0 - d.rate
+        from ..ops.batchnorm import current_sync_axis
+
+        ax = current_sync_axis()
 
         def draw():
-            m = jax.random.bernoulli(d.rngs(), keep, (b,))
+            k = d.rngs()
+            if ax is not None:
+                # shard_map DP: the rng state is replicated, so fold the
+                # device index in — shards must not share masks
+                k = jax.random.fold_in(k, jax.lax.axis_index(ax))
+            m = jax.random.bernoulli(k, keep, (b,))
             return m.astype(jnp.float32) / keep
 
         return draw(), draw()

@@ -127,6 +127,134 @@ def _build_paired_steps(loss_fn, clamp, gen_pair, mesh_guard: bool = False):
     return train_step, val_step
 
 
+def _build_shard_map_steps(loss_fn, clamp, gen_pair, mesh, global_batch):
+    """Data-parallel train/val steps as an EXPLICIT shard_map program
+    (``train_paired(dp_shard_map=True)``) instead of pjit sharding
+    annotations.
+
+    Why a second DP formulation: a ``pallas_call`` is not
+    SPMD-partitionable, so the pjit path must trace the plain XLA
+    formulations (ops/pallas/guard) — under shard_map every device runs
+    the SINGLE-CHIP program on its batch shard, so the fused kernels
+    (whole-block SwinIR fwd/VJP, fused SSIM loss) stay eligible while XLA
+    collectives carry the reductions over ICI.  Numerics match the pjit
+    path / single chip to fp reassociation (tests/test_shard_map.py):
+
+    - BatchNorm runs sync-BN — statistics and the backward's
+      stat-coupling sums are psum'd (ops/batchnorm.sync_axis);
+    - the device degradation splits per-sample keys at GLOBAL batch
+      granularity and slices this shard's rows (bit-identical pairs);
+    - gradients are pmean'd over ``data`` (losses are equal-shard means).
+
+    Full batches only — the caller routes partial batches through the
+    pjit step.
+    """
+    from .ops import batchnorm as bn
+
+    axis = "data"
+    n_data = dict(mesh.shape).get(axis, mesh.devices.size)
+    if global_batch % n_data:
+        raise ValueError(
+            f"dp_shard_map requires batch_size ({global_batch}) divisible by "
+            f"the data axis ({n_data})."
+        )
+
+    def _loss(model, lr, hr, extra):
+        hr_hat = model(lr)
+        if clamp:
+            hr_hat = jnp.clip(hr_hat, 0, IMAGE_RANGE)
+        if extra is None:
+            loss = _loss_scaled(loss_fn, hr_hat, hr)
+        else:
+            loss = loss_fn(hr_hat / IMAGE_RANGE, hr / IMAGE_RANGE, extra / IMAGE_RANGE)
+        return loss, hr_hat
+
+    def _prepare(batch, key, train):
+        if gen_pair is None:
+            return batch
+        b_local = batch.shape[0]
+        off = jax.lax.axis_index(axis) * b_local
+        return gen_pair(key, batch, augment=train, key_block=(off, global_batch))
+
+    programs = {}
+
+    def _train_program(graphdef, with_metrics, has_extra):
+        from jax.sharding import PartitionSpec as P
+
+        def local_step(state, batch, extra, key, lr_rate):
+            model, optimizer = nnx.merge(graphdef, state)
+            with bn.sync_axis(axis):
+                hr, lr = _prepare(batch, key, train=True)
+                _set_lr(optimizer, lr_rate)
+                (loss, hr_hat), grads = nnx.value_and_grad(_loss, has_aux=True)(
+                    model, lr, hr, extra
+                )
+                grads = jax.tree.map(lambda g: jax.lax.pmean(g, axis), grads)
+                optimizer.update(model, grads)
+                loss = jax.lax.pmean(loss, axis)
+                metrics = ()
+                if with_metrics:
+                    mse = jnp.mean((hr_hat / IMAGE_RANGE - hr / IMAGE_RANGE) ** 2)
+                    s = jssim(hr_hat, hr, data_range=IMAGE_RANGE)
+                    metrics = (jax.lax.pmean(mse, axis), jax.lax.pmean(s, axis))
+            new_state = nnx.state((model, optimizer))
+            return loss, metrics, (lr, hr_hat, hr), new_state
+
+        shard = P(axis)
+        return jax.jit(
+            jax.shard_map(
+                local_step,
+                mesh=mesh,
+                in_specs=(P(), shard, shard if has_extra else P(), P(), P()),
+                out_specs=(P(), P(), shard, P()),
+                check_vma=False,
+            )
+        )
+
+    def _val_program(graphdef, has_extra):
+        from jax.sharding import PartitionSpec as P
+
+        def local_step(state, batch, extra, key):
+            model, _opt = nnx.merge(graphdef, state)
+            with bn.sync_axis(axis):
+                hr, lr = _prepare(batch, key, train=False)
+                loss, hr_hat = _loss(model, lr, hr, extra)
+                loss = jax.lax.pmean(loss, axis)
+            return loss, (lr, hr_hat, hr)
+
+        shard = P(axis)
+        return jax.jit(
+            jax.shard_map(
+                local_step,
+                mesh=mesh,
+                in_specs=(P(), shard, shard if has_extra else P(), P()),
+                out_specs=(P(), shard),
+                check_vma=False,
+            )
+        )
+
+    def train_step(model, optimizer, batch, extra, key, lr_rate, n_valid, with_metrics):
+        del n_valid  # full batches only (caller routes partials to pjit)
+        graphdef, state = nnx.split((model, optimizer))
+        k = ("train", graphdef, bool(with_metrics), extra is not None)
+        if k not in programs:
+            programs[k] = _train_program(graphdef, bool(with_metrics), extra is not None)
+        loss, metrics, tensors, new_state = programs[k](state, batch, extra, key, lr_rate)
+        nnx.update((model, optimizer), new_state)
+        return loss, (metrics if with_metrics else None), tensors
+
+    def val_step(model, optimizer, batch, extra, key, n_valid):
+        del n_valid
+        graphdef, state = nnx.split((model, optimizer))
+        k = ("val", graphdef, extra is not None)
+        if k not in programs:
+            programs[k] = _val_program(graphdef, extra is not None)
+        loss, tensors = programs[k](state, batch, extra, key)
+        return loss, tensors
+
+    return train_step, val_step
+
+
 def _build_multi_train_step(loss_fn, clamp, gen_pair, mesh_guard: bool = False):
     """K train steps in ONE jitted dispatch via ``nnx.scan``
     (``train_paired(steps_per_dispatch=K)``).
@@ -258,6 +386,7 @@ def train_paired(
     state_dir: str = None,
     tp_rules=None,
     steps_per_dispatch: int = 1,
+    dp_shard_map: bool = False,
 ):
     """Trains model on paired high-low-resolution crappified data
     (reference: pssr/train.py:19-166; same control surface).
@@ -302,6 +431,15 @@ def train_paired(
 
         seed (int) : RNG seed for on-device augmentation/crappification.
 
+        dp_shard_map (bool) : Data-parallel stepping as an explicit
+            shard_map program instead of pjit sharding annotations: each
+            device runs the single-chip program (fused Pallas kernels stay
+            eligible) on its batch shard, with sync-BN statistics and
+            pmean'd gradients over the ``data`` axis — numerically
+            equivalent to the pjit path (tests/test_shard_map.py).
+            Requires ``mesh``; data-parallel only (no ``tp_rules``);
+            ``steps_per_dispatch`` falls back to per-step dispatch.
+
         tp_rules : Optional tensor-parallel sharding rules (e.g.
             :data:`pssr2_tpu.parallel.tp.SWINIR_TP_RULES`) applied to model
             and optimizer state when ``mesh`` has a ``model`` axis of size
@@ -328,6 +466,8 @@ def train_paired(
     num_workers = dataloader_kwargs.get("num_workers", 4)
     callbacks, callback_locals = _get_callbacks(callbacks)
     image_range = IMAGE_RANGE
+    if dp_shard_map and mesh is None:
+        raise ValueError("dp_shard_map=True requires a mesh with a 'data' axis.")
 
     if mesh is not None:
         data_size = dict(mesh.shape).get("data", mesh.devices.size)
@@ -371,8 +511,9 @@ def train_paired(
             augment=False, host_fallback=fallback,
         )
 
-        def gen_pair(key, batch, augment):
-            return aug(key, batch) if augment else no_aug(key, batch)
+        def gen_pair(key, batch, augment, key_block=None):
+            fn = aug if augment else no_aug
+            return fn(key, batch, key_block=key_block)
 
     train_idx = list(invert_idx(dataset.val_idx, len(dataset)))
     train_sampler = RandomIterIdx(train_idx, rng=sampler_rng)
@@ -407,10 +548,21 @@ def train_paired(
     train_step, val_step = _build_paired_steps(
         loss_fn, clamp, gen_pair, mesh_guard=mesh is not None
     )
+    use_shard_map = bool(dp_shard_map)
+    if use_shard_map:
+        if mesh is None:
+            raise ValueError("dp_shard_map=True requires a mesh with a 'data' axis.")
+        if tp_rules is not None and dict(mesh.shape).get("model", 1) > 1:
+            raise ValueError(
+                "dp_shard_map is data-parallel only; drop tp_rules or use the pjit path."
+            )
+        sm_train_step, sm_val_step = _build_shard_map_steps(
+            loss_fn, clamp, gen_pair, mesh, batch_size
+        )
 
     # steps_per_dispatch > 1: fuse K steps into one dispatch via nnx.scan.
     # Locals-callbacks need per-batch tensors, so they force per-step.
-    use_multi = steps_per_dispatch > 1 and not any(callback_locals)
+    use_multi = steps_per_dispatch > 1 and not any(callback_locals) and not use_shard_map
     multi_train_step = (
         _build_multi_train_step(loss_fn, clamp, gen_pair, mesh_guard=mesh is not None)
         if use_multi
@@ -529,9 +681,16 @@ def train_paired(
                     _flush_pending()
                 continue
             _flush_pending()
-            loss, metrics, tensors = cached_train_step(
-                batch, extra, step_key, optim.lr, n_valid, with_metrics
-            )
+            if use_shard_map and n_valid == batch_size:
+                loss, metrics, tensors = sm_train_step(
+                    model, optimizer, batch, extra, step_key, optim.lr, n_valid, with_metrics
+                )
+            else:
+                # partial batches route through the pjit step (shard_map
+                # has no n_valid slicing — shards must stay equal)
+                loss, metrics, tensors = cached_train_step(
+                    batch, extra, step_key, optim.lr, n_valid, with_metrics
+                )
             # exposed in locals() for GUI/monitoring callbacks (lazy device
             # arrays; no sync unless a callback materializes them)
             lr, hr_hat, hr = tensors
@@ -572,7 +731,10 @@ def train_paired(
         progress = tqdm(_wrap_batches(val_loader), total=n_val_batches)
         for batch_idx, (batch, extra, n_valid) in enumerate(progress):
             key, step_key = jax.random.split(key)
-            loss, tensors = cached_val_step(batch, extra, step_key, n_valid)
+            if use_shard_map and n_valid == batch_size:
+                loss, tensors = sm_val_step(model, optimizer, batch, extra, step_key, n_valid)
+            else:
+                loss, tensors = cached_val_step(batch, extra, step_key, n_valid)
             val_loss.append(float(loss))
             if batch_idx == max(n_val_batches, 2) - 2:
                 last_full_val = list(tensors)  # lazy device arrays
