@@ -40,6 +40,7 @@ def parse():
 
     parser.add_argument("-dtype", "--dtype", type=str, default=None, choices=[None, "float32", "bfloat16"], help="model compute dtype")
     parser.add_argument("-nd", "--n-devices", type=int, default=None, help="number of devices for the data mesh (default: all)")
+    parser.add_argument("-dpsm", "--dp-shard-map", action="store_true", help="data-parallel stepping as an explicit shard_map program (fused Pallas kernels stay eligible per shard; see train_paired dp_shard_map)")
     parser.add_argument("-spd", "--steps-per-dispatch", type=int, default=1, help="train steps fused per dispatch (nnx.scan trainer)")
 
     return parser
@@ -101,6 +102,7 @@ def main():
         mix=args.mix,
         n_devices=args.n_devices,
         steps_per_dispatch=args.steps_per_dispatch,
+        dp_shard_map=args.dp_shard_map,
     )
     print("\n")
 
@@ -123,6 +125,7 @@ def pssr_head(
     metrics=None,
     mix=None,
     n_devices=None,
+    dp_shard_map=False,
     steps_per_dispatch=1,
 ):
     """Shared train/predict orchestrator, also used by the napari plugin
@@ -172,13 +175,14 @@ def pssr_head(
         func = lambda: _train_meta(
             model, dataset, device, epochs, batch_size, lr, gamma, loss_fn, checkpoint, losses,
             callbacks, stage, mix=mix, mesh=mesh, steps_per_dispatch=steps_per_dispatch,
+            dp_shard_map=dp_shard_map,
         )
     else:
         func = lambda: _predict_meta(model, dataset, device, callbacks, stage, metrics)
     func()
 
 
-def _train_meta(model, dataset, device, epochs, batch_size, lr, gamma, loss_fn, checkpoint, losses, callbacks=None, stage=None, mix=None, mesh=None, steps_per_dispatch=1):
+def _train_meta(model, dataset, device, epochs, batch_size, lr, gamma, loss_fn, checkpoint, losses, callbacks=None, stage=None, mix=None, mesh=None, steps_per_dispatch=1, dp_shard_map=False):
     """(reference: pssr/__main__.py:117-162)"""
     from .checkpoint import save_weights
     from .optim import AdamW, ExponentialLR
@@ -223,6 +227,7 @@ def _train_meta(model, dataset, device, epochs, batch_size, lr, gamma, loss_fn, 
         callbacks=callbacks,
         mesh=mesh,
         steps_per_dispatch=steps_per_dispatch,
+        dp_shard_map=dp_shard_map and mesh is not None,
     )
     print("\nTraining complete!")
 
