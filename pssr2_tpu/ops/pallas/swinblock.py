@@ -183,7 +183,7 @@ def _pltpu_smem():
 
 def _knobs():
     return (ROWS, BATCHED_HEADS, DEFER_NORM, FAST_GELU, TRANSPOSED_HEADS,
-            NOMAX_SOFTMAX, FOLD_QK_SCALE, ABLATE, BWD_ROWS)
+            NOMAX_SOFTMAX, FOLD_QK_SCALE, ABLATE, BWD_ROWS, ABLATE_BWD)
 
 
 def _softmax_f32(s):
@@ -392,6 +392,12 @@ def _block_kernel(
 # the forward's; 2 needs the raised VMEM ceiling below and wins 161.2 ->
 # 156.5 ms on the canonical train step — experiments/mxu_probe39).
 BWD_ROWS = 2
+# Probe-only ablation knob for the bwd kernel (experiments/mxu_probe41):
+# "none", "no_attn_bwd" (skip the 5 attention-bwd dots + softmax bwd),
+# "no_dw" (skip all parameter-grad dots/accumulations), "no_ln_bwd"
+# (pass cotangents through the LayerNorms), "no_mlp_bwd" (skip the MLP
+# gradient chain).  Produces WRONG gradients — time attribution only.
+ABLATE_BWD = "none"
 
 try:  # pltpu only needed for the raised scoped-VMEM ceiling
     from jax.experimental.pallas import tpu as _pltpu
@@ -575,37 +581,57 @@ def _block_bwd_kernel(
     zg = _gelu_fast(z1) if fast else _gelu_exact(z1)
 
     # -- backward chain
+    no_dw = ABLATE_BWD == "no_dw"
     g = g_ref[0]  # (rows*ws, W, C), output cotangent (aligned strip)
-    gmlp = g * s2
-    dw2_ref[...] += _matmul_dw(zg, gmlp)
-    db2_ref[...] += jnp.sum(gmlp.astype(jnp.float32), axis=(0, 1))
-    dz = _matmul_dx(gmlp, wfc2[...])
-    dgel = (_dgelu_fast(z1) if fast else _dgelu_exact(z1))
-    dz1 = (dz.astype(jnp.float32) * dgel).astype(dt)
-    dw1_ref[...] += _matmul_dw(h2, dz1)
-    db1_ref[...] += jnp.sum(dz1.astype(jnp.float32), axis=(0, 1))
-    dh2 = _matmul_dx(dz1, wfc1[...])
-    dy_ln, dg2, db2v = _layernorm_bwd(y, ln2_s[...], eps, dh2)
-    dln2s_ref[...] += dg2
-    dln2b_ref[...] += db2v
-    dy1 = g + dy_ln
+    if ABLATE_BWD == "no_mlp_bwd":
+        dy1 = g
+    else:
+        gmlp = g * s2
+        if not no_dw:
+            dw2_ref[...] += _matmul_dw(zg, gmlp)
+            db2_ref[...] += jnp.sum(gmlp.astype(jnp.float32), axis=(0, 1))
+        dz = _matmul_dx(gmlp, wfc2[...])
+        dgel = (_dgelu_fast(z1) if fast else _dgelu_exact(z1))
+        dz1 = (dz.astype(jnp.float32) * dgel).astype(dt)
+        if not no_dw:
+            dw1_ref[...] += _matmul_dw(h2, dz1)
+            db1_ref[...] += jnp.sum(dz1.astype(jnp.float32), axis=(0, 1))
+        dh2 = _matmul_dx(dz1, wfc1[...])
+        if ABLATE_BWD == "no_ln_bwd":
+            dy_ln = dh2
+        else:
+            dy_ln, dg2, db2v = _layernorm_bwd(y, ln2_s[...], eps, dh2)
+            if not no_dw:
+                dln2s_ref[...] += dg2
+                dln2b_ref[...] += db2v
+        dy1 = g + dy_ln
 
     gproj = dy1 * s1
-    dwp_ref[...] += _matmul_dw(att, gproj)
-    dbp_ref[...] += jnp.sum(gproj.astype(jnp.float32), axis=(0, 1))
+    if not no_dw:
+        dwp_ref[...] += _matmul_dw(att, gproj)
+        dbp_ref[...] += jnp.sum(gproj.astype(jnp.float32), axis=(0, 1))
     datt = _matmul_dx(gproj, wproj[...])
     datt_w = _windowize(datt, rows, ws, k, c)
-    dqkv_w, dbias = _attention_bwd_parts(
-        datt_w, qT, kT, vT, p32, heads=heads, d=d, dtype=dt
-    )
-    dbias_ref[...] += dbias
+    if ABLATE_BWD == "no_attn_bwd":
+        dqkv_w = jnp.concatenate([datt_w, datt_w, datt_w], axis=-1)
+    else:
+        dqkv_w, dbias = _attention_bwd_parts(
+            datt_w, qT, kT, vT, p32, heads=heads, d=d, dtype=dt
+        )
+        if not no_dw:
+            dbias_ref[...] += dbias
     dqkv = _unwindowize(dqkv_w, rows, ws, k, 3 * c)
-    dwqkv_ref[...] += _matmul_dw(h1, dqkv)
-    dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
+    if not no_dw:
+        dwqkv_ref[...] += _matmul_dw(h1, dqkv)
+        dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
     dh1 = _matmul_dx(dqkv, wqkv[...])
-    dx_ln, dg1, db1v = _layernorm_bwd(xs, ln1_s[...], eps, dh1)
-    dln1s_ref[...] += dg1
-    dln1b_ref[...] += db1v
+    if ABLATE_BWD == "no_ln_bwd":
+        dx_ln = dh1
+    else:
+        dx_ln, dg1, db1v = _layernorm_bwd(xs, ln1_s[...], eps, dh1)
+        if not no_dw:
+            dln1s_ref[...] += dg1
+            dln1b_ref[...] += db1v
     dx_ref[0] = dy1 + dx_ln
 
 
