@@ -47,7 +47,22 @@ def _eval_forward(model, mesh=None, batch_pad: int = None):
     n_dev = mesh.devices.size
     shard = batch_sharding(mesh)
 
-    from .ops.pallas.guard import mesh_scope
+    # Tile-sharded inference as a shard_map program: each device runs the
+    # SINGLE-CHIP eval forward on its shard, so the fused Pallas kernels
+    # (SwinIR whole-block chain etc.) stay eligible — a pjit forward would
+    # have to gate them off (pallas is not SPMD-partitionable).  Eval has
+    # no cross-sample coupling (running-stat BN), so no collectives.
+    from jax.sharding import PartitionSpec as P
+
+    sm_forward = jax.jit(
+        jax.shard_map(
+            lambda st, lr: nnx.merge(graphdef, st)(lr),
+            mesh=mesh,
+            in_specs=(P(), P("data")),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+    )
 
     def sharded_forward(lr):
         n = lr.shape[0]
@@ -55,8 +70,7 @@ def _eval_forward(model, mesh=None, batch_pad: int = None):
         pad_to = ((pad_to + n_dev - 1) // n_dev) * n_dev  # divisible by mesh
         if n < pad_to:
             lr = np.concatenate([lr, np.repeat(lr[-1:], pad_to - n, axis=0)])
-        with mesh_scope():  # trace without single-chip Pallas kernels
-            out = forward(state, jax.device_put(lr, shard))
+        out = sm_forward(state, jax.device_put(lr, shard))
         return out[:n]
 
     return sharded_forward
