@@ -87,17 +87,37 @@ def _dataset(tmp_path, n=8, res=64):
     return ImageDataset(d, hr_res=res, val_split=0.25)
 
 
-def test_shard_map_dp_matches_single_and_pjit(tmp_path):
+def test_shard_map_dp_matches_single_and_pjit(tmp_path, monkeypatch):
     """train_paired(dp_shard_map=True): loss sequences equal the
-    single-device run AND the pjit mesh run to float tolerance — sync-BN,
-    key-block degradation, and grad pmean reproduce the global math."""
+    single-device run to float tolerance — sync-BN, key-block degradation,
+    and grad pmean reproduce the global math.  Full batches (16 images,
+    batch 4) so the shard_map step genuinely executes — asserted via a
+    counting wrapper (partial batches route through the pjit fallback)."""
+    import pssr2_tpu.train as train_mod
     from pssr2_tpu.models import ResUNet
     from pssr2_tpu.optim import AdamW
     from pssr2_tpu.parallel import data_mesh
     from pssr2_tpu.train import train_paired
     from pssr2_tpu.util import MSELoss
 
-    dataset = _dataset(tmp_path, n=8)
+    dataset = _dataset(tmp_path, n=16)
+    assert (len(dataset) - len(dataset.val_idx)) % 4 == 0  # FULL batches of 4
+
+    counts = {"train": 0, "val": 0}
+    orig_build = train_mod._build_shard_map_steps
+
+    def counting_build(*a, **k):
+        ts, vs = orig_build(*a, **k)
+
+        def ts2(*aa, **kk):
+            counts["train"] += 1
+            return ts(*aa, **kk)
+
+        def vs2(*aa, **kk):
+            counts["val"] += 1
+            return vs(*aa, **kk)
+
+        return ts2, vs2
 
     def run(mesh, dp_shard_map=False):
         import random
@@ -106,12 +126,14 @@ def test_shard_map_dp_matches_single_and_pjit(tmp_path):
         np.random.seed(3)
         model = ResUNet(hidden=[8, 16], depth=1)
         return train_paired(
-            model, dataset, batch_size=8, loss_fn=MSELoss(), optim=AdamW(1e-3),
+            model, dataset, batch_size=4, loss_fn=MSELoss(), optim=AdamW(1e-3),
             epochs=1, log_frequency=1, seed=11, mesh=mesh, dp_shard_map=dp_shard_map,
         )
 
     a_losses, a_val = run(None)
-    s_losses, s_val = run(data_mesh(), dp_shard_map=True)
+    monkeypatch.setattr(train_mod, "_build_shard_map_steps", counting_build)
+    s_losses, s_val = run(data_mesh(4), dp_shard_map=True)
+    assert counts["train"] >= 2 and counts["val"] >= 1
     np.testing.assert_allclose(a_losses, s_losses, rtol=2e-4)
     np.testing.assert_allclose(a_val, s_val, rtol=2e-4)
 
