@@ -183,7 +183,27 @@ def _pltpu_smem():
 
 def _knobs():
     return (ROWS, BATCHED_HEADS, DEFER_NORM, FAST_GELU, TRANSPOSED_HEADS,
-            NOMAX_SOFTMAX, FOLD_QK_SCALE, ABLATE, BWD_ROWS, ABLATE_BWD)
+            NOMAX_SOFTMAX, FOLD_QK_SCALE, ABLATE, BWD_ROWS, ABLATE_BWD,
+            RESHAPE_HEADS)
+
+
+def _stack_heads(tT, heads, d):
+    """(k2, heads*d, n) -> (heads*k2, d, n), head-major batch order —
+    identical element order to the per-head slice+concat stacking."""
+    k2, _, n = tT.shape
+    if RESHAPE_HEADS:
+        t = tT.reshape(k2, heads, d, n).transpose(1, 0, 2, 3)
+        return t.reshape(heads * k2, d, n)
+    return jnp.concatenate([tT[:, h * d : (h + 1) * d, :] for h in range(heads)], 0)
+
+
+def _unstack_heads(t, heads):
+    """Inverse of :func:`_stack_heads`: (heads*k2, d, n) -> (k2, heads*d, n)."""
+    hk, d, n = t.shape
+    k2 = hk // heads
+    if RESHAPE_HEADS:
+        return t.reshape(heads, k2, d, n).transpose(1, 0, 2, 3).reshape(k2, heads * d, n)
+    return jnp.concatenate([t[h * k2 : (h + 1) * k2] for h in range(heads)], axis=1)
 
 
 def _softmax_f32(s):
@@ -199,16 +219,12 @@ def _attention(qkv, bias, labels, *, heads, d, scale, masked, dtype):
     c = heads * d
     if BATCHED_HEADS and TRANSPOSED_HEADS:
         # (k, n, 3C) -> (k, 3C, n): ONE transpose of the big tensor, then
-        # head slicing runs on SUBLANES and q/k/v live as (heads*k, d, n)
+        # head stacking runs on SUBLANES and q/k/v live as (heads*k, d, n)
         # — n=64 lane-pads 2x instead of d=16 lane-padding 8x.
         qkvT = jnp.swapaxes(qkv, 1, 2)
-        qT = jnp.concatenate([qkvT[:, h * d : (h + 1) * d, :] for h in range(heads)], 0)
-        kT = jnp.concatenate(
-            [qkvT[:, c + h * d : c + (h + 1) * d, :] for h in range(heads)], 0
-        )
-        vT = jnp.concatenate(
-            [qkvT[:, 2 * c + h * d : 2 * c + (h + 1) * d, :] for h in range(heads)], 0
-        )
+        qT = _stack_heads(qkvT[:, :c, :], heads, d)
+        kT = _stack_heads(qkvT[:, c : 2 * c, :], heads, d)
+        vT = _stack_heads(qkvT[:, 2 * c :, :], heads, d)
         s = jax.lax.dot_general(
             qT, kT, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # (heads*k, n, n)
@@ -239,7 +255,7 @@ def _attention(qkv, bias, labels, *, heads, d, scale, masked, dtype):
             oT = jax.lax.dot_general(
                 vT, p, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
             ).astype(dtype)  # (heads*k, d, n)
-        attT = jnp.concatenate([oT[h * k : (h + 1) * k] for h in range(heads)], axis=1)
+        attT = _unstack_heads(oT, heads)
         return jnp.swapaxes(attT, 1, 2)  # (k, n, C)
     if BATCHED_HEADS:
         # one (heads*k)-batched dot pair + one softmax: per-op issue
@@ -392,6 +408,18 @@ def _block_kernel(
 # the forward's; 2 needs the raised VMEM ceiling below and wins 161.2 ->
 # 156.5 ms on the canonical train step — experiments/mxu_probe39).
 BWD_ROWS = 2
+# RESHAPE_HEADS: stack/unstack attention heads via sublane-split reshapes
+# + a major-dim transpose instead of per-head slice/concat chains (~40
+# fewer ops per grid step; the kernels are op-issue-bound — probe41).
+# The LANE-split reshape (k,n,C)->(k,n,h,d) is an unsupported Mosaic
+# shape cast, but here the split dim lives on SUBLANES ((k2, C, n) with
+# n on lanes) and d=16 is a multiple of the 8-row sublane tile.
+# Measured bit-equal on hardware with a small consistent edge (157.9 ->
+# 157.4 ms median canonical train step, better in 4/5 interleaved trials
+# — mxu_probe43); the slice/concat chains were NOT the dominant issue
+# cost, so the win is marginal, but it is never worse and fewer ops.
+RESHAPE_HEADS = True
+
 # Probe-only ablation knob for the bwd kernel (experiments/mxu_probe41):
 # "none", "no_attn_bwd" (skip the 5 attention-bwd dots + softmax bwd),
 # "no_dw" (skip all parameter-grad dots/accumulations), "no_ln_bwd"
@@ -476,13 +504,9 @@ def _attention_fwd_parts(qkv, bias, labels, *, heads, d, masked, dtype):
     k2, n, _ = qkv.shape
     c = heads * d
     qkvT = jnp.swapaxes(qkv, 1, 2)
-    qT = jnp.concatenate([qkvT[:, h * d : (h + 1) * d, :] for h in range(heads)], 0)
-    kT = jnp.concatenate(
-        [qkvT[:, c + h * d : c + (h + 1) * d, :] for h in range(heads)], 0
-    )
-    vT = jnp.concatenate(
-        [qkvT[:, 2 * c + h * d : 2 * c + (h + 1) * d, :] for h in range(heads)], 0
-    )
+    qT = _stack_heads(qkvT[:, :c, :], heads, d)
+    kT = _stack_heads(qkvT[:, c : 2 * c, :], heads, d)
+    vT = _stack_heads(qkvT[:, 2 * c :, :], heads, d)
     s = jax.lax.dot_general(
         qT, kT, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
@@ -495,7 +519,7 @@ def _attention_fwd_parts(qkv, bias, labels, *, heads, d, masked, dtype):
     oT = jax.lax.dot_general(
         vT, p, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ).astype(dtype)  # (heads*k2, d, n)
-    attT = jnp.concatenate([oT[h * k2 : (h + 1) * k2] for h in range(heads)], axis=1)
+    attT = _unstack_heads(oT, heads)
     return jnp.swapaxes(attT, 1, 2), qT, kT, vT, p32
 
 
@@ -505,7 +529,7 @@ def _attention_bwd_parts(datt_w, qT, kT, vT, p32, *, heads, d, dtype):
     k2, n, _ = datt_w.shape
     p = p32.astype(dtype)
     dattT = jnp.swapaxes(datt_w, 1, 2)  # (k2, C, n)
-    doT = jnp.concatenate([dattT[:, h * d : (h + 1) * d, :] for h in range(heads)], 0)
+    doT = _stack_heads(dattT, heads, d)
 
     # dP[b,i,j] = sum_d doT[b,d,i] vT[b,d,j]
     dp = jax.lax.dot_general(
@@ -527,10 +551,10 @@ def _attention_bwd_parts(datt_w, qT, kT, vT, p32, *, heads, d, dtype):
         qT, ds_c, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ).astype(dtype)
 
-    def regroup(tT):  # (heads*k2, d, n) -> (k2, C, n)
-        return jnp.concatenate([tT[h * k2 : (h + 1) * k2] for h in range(heads)], axis=1)
-
-    dqkvT = jnp.concatenate([regroup(dqT), regroup(dkT), regroup(dvT)], axis=1)
+    dqkvT = jnp.concatenate(
+        [_unstack_heads(dqT, heads), _unstack_heads(dkT, heads), _unstack_heads(dvT, heads)],
+        axis=1,
+    )
     return jnp.swapaxes(dqkvT, 1, 2), dbias
 
 

@@ -320,3 +320,30 @@ def test_full_model_train_step_with_active_drop_path():
         assert np.all(np.isfinite(np.asarray(v, np.float32)))
     # different masks across calls: losses differ with rate 0.5 on 8 blocks
     assert float(l1) != float(l2)
+
+
+def test_reshape_heads_bit_identical():
+    """RESHAPE_HEADS (sublane-split reshape head stacking) must be a pure
+    re-expression: fwd outputs and train-path grads bit-equal to the
+    slice/concat stacking."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, C)).astype(np.float32))
+    params = _params(rng, jnp.float32)
+    ones = jnp.ones((1,), jnp.float32)
+    kw = dict(heads=HEADS, scale=SCALE, ws=WS, delta=4, shift=4, mask_hw=(16, 16), eps=1e-6)
+
+    def train_loss(x_):
+        return jnp.sum(swinblock.fused_swin_block_train(x_, params, ones, ones, **kw) ** 2)
+
+    old = swinblock.RESHAPE_HEADS
+    try:
+        swinblock.RESHAPE_HEADS = False
+        y0 = np.asarray(swinblock.fused_swin_block(x, params, **kw))
+        g0 = np.asarray(jax.grad(train_loss)(x))
+        swinblock.RESHAPE_HEADS = True
+        y1 = np.asarray(swinblock.fused_swin_block(x, params, **kw))
+        g1 = np.asarray(jax.grad(train_loss)(x))
+    finally:
+        swinblock.RESHAPE_HEADS = old
+    np.testing.assert_array_equal(y0, y1)
+    np.testing.assert_array_equal(g0, g1)
