@@ -203,3 +203,35 @@ def test_fused_kernels_eligible_inside_shard_map(tmp_path):
     finally:
         swinblock.MODE = old_mode
         swinblock.fused_swin_block_train = orig
+
+
+def test_shard_map_host_pair_batches(tmp_path):
+    """gen_pair=None branch: ready (hr, lr) TUPLE batches shard over the
+    mesh (prefix specs) and the loss matches the single-program step."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from pssr2_tpu.models import ResUNet
+    from pssr2_tpu.optim import AdamW
+    from pssr2_tpu.train import _build_paired_steps, _build_shard_map_steps
+    from pssr2_tpu.util import MSELoss
+
+    mesh = _mesh()
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(rng.random((8, 1, 64, 64)).astype(np.float32) * 255)
+    lr = jnp.asarray(rng.random((8, 1, 16, 16)).astype(np.float32) * 255)
+
+    def make():
+        model = ResUNet(hidden=[8, 16], depth=1)
+        model.train()
+        optim = AdamW(1e-3)
+        return model, nnx.Optimizer(model, optim.tx, wrt=nnx.Param), optim
+
+    m1, o1, opt = make()
+    sm_step, _ = _build_shard_map_steps(MSELoss(), False, None, mesh, 8)
+    sm_loss, _, _ = sm_step(m1, o1, (hr, lr), None, jax.random.key(0), opt.lr, 8, False)
+
+    m2, o2, _ = make()
+    ref_step, _ = _build_paired_steps(MSELoss(), False, None)
+    ref_loss, _, _ = ref_step(m2, o2, (hr, lr), None, jax.random.key(0), opt.lr, 8, False)
+    np.testing.assert_allclose(float(sm_loss), float(ref_loss), rtol=2e-5)
