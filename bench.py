@@ -8,10 +8,12 @@ batch 16, AdamW 1e-3, SSIMLoss(mix=0.8, MS).
 Primary metric: absolute train-step throughput (crappified patches/sec/chip,
 median of trials) plus MFU computed from the analytic model FLOP count —
 both device-bound and stable run to run.  By default the timed path is the
-shipped nnx.scan trainer (``train_paired(steps_per_dispatch=8)``,
+shipped nnx.scan trainer (``train_paired(steps_per_dispatch=16)``,
 BENCH_SPD to change / 1 for per-step dispatch): the production hot path,
 which also amortizes this host's ~4 ms/dispatch tunnel overhead that real
-TPU hosts do not pay (experiments/mxu_probe11).
+TPU hosts do not pay (experiments/mxu_probe11).  SPD sweep (round 3):
+8 -> 402.5 p/s, 16 -> 407.0, 32 -> 409.2 — 16 is the default (the 16->32
+gain is ~0.5% against doubled callback/logging buffering lag).
 
 ``vs_baseline`` compares against a PINNED reference-architecture pipeline
 measurement recorded in BASELINE_PIN.json (host numpy/PIL crappification
@@ -231,7 +233,7 @@ def main():
     # (train_paired(steps_per_dispatch=K)): K steps per dispatch, which is
     # the production hot path and amortizes the ~4 ms/dispatch tunnel cost
     # this bench host pays (real TPU hosts pay far less).
-    spd = int(os.environ.get("BENCH_SPD", 8))
+    spd = int(os.environ.get("BENCH_SPD", 16))
     if spd > 1:
         from flax import nnx
 
