@@ -86,10 +86,35 @@ class Block(nnx.Module):
         self.ese = EffectiveSE(out_chs, rngs=rngs, dtype=dtype) if ese else None
 
     def __call__(self, x):
+        from ..ops.pallas import rdtail
+
         x = self.dw(x)
-        x = self.norm(x)
-        x = nnx.gelu(self.fc1(x), approximate=False)
-        x = self.fc2(x)
+        n_, h_, w_, c = x.shape
+        inter, out = self.fc1.out_features, self.fc2.out_features
+        if rdtail.eligible(n_ * h_ * w_, c, inter, out, x.dtype, train=True):
+            # fused LN -> fc1 -> GELU -> fc2 Pallas pass on flattened rows
+            # (ops/pallas/rdtail.py); the dw conv stays XLA — it is at its
+            # VPU FLOP floor (experiments/profile_rdres).
+            hwnc = rdtail.ORDER == "hwnc"
+            x2 = (x.transpose(1, 2, 0, 3) if hwnc else x).reshape(-1, c)
+            y2 = rdtail.fused_rd_tail(
+                x2,
+                self.norm.norm.scale.value,
+                self.norm.norm.bias.value,
+                self.fc1.kernel.value.reshape(c, inter),
+                self.fc1.bias.value,
+                self.fc2.kernel.value.reshape(inter, out),
+                self.fc2.bias.value,
+                eps=self.norm.norm.epsilon,
+            )
+            if hwnc:
+                x = y2.reshape(h_, w_, n_, out).transpose(2, 0, 1, 3)
+            else:
+                x = y2.reshape(n_, h_, w_, out)
+        else:
+            x = self.norm(x)
+            x = nnx.gelu(self.fc1(x), approximate=False)
+            x = self.fc2(x)
         if self.ese is not None:
             x = self.ese(x)
         return x
