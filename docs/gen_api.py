@@ -7,6 +7,7 @@ reference ships Sphinx rst; here the API reference is plain markdown).
 
 import importlib
 import inspect
+import re
 import os
 import sys
 
@@ -41,6 +42,7 @@ MODULES = [
     ("pssr2_tpu.ops.pallas.ssimfused", "Pallas fused SSIM / mixed loss"),
     ("pssr2_tpu.ops.pallas.winattn", "Pallas window attention"),
     ("pssr2_tpu.ops.pallas.swinblock", "Pallas fused Swin block"),
+    ("pssr2_tpu.ops.pallas.rdtail", "Pallas fused RDNet block tail"),
     ("pssr2_tpu.ops.pallas.guard", "Pallas mesh guard"),
     ("pssr2_tpu.parallel.mesh", "Mesh helpers"),
     ("pssr2_tpu.parallel.tp", "Tensor parallelism"),
@@ -52,9 +54,12 @@ MODULES = [
 
 def _sig(obj):
     try:
-        return str(inspect.signature(obj))
+        sig = str(inspect.signature(obj))
     except (ValueError, TypeError):
         return "(...)"
+    # sentinel defaults repr as "<object object at 0x...>" — strip the
+    # address so regeneration doesn't churn the pages
+    return re.sub(r"<object object at 0x[0-9a-f]+>", "<unset>", sig)
 
 
 def _doc(obj):
