@@ -29,6 +29,7 @@ MODULES = [
     ("pssr2_tpu.optim", "Optimizers & schedulers"),
     ("pssr2_tpu.checkpoint", "Checkpointing"),
     ("pssr2_tpu.torch_import", "Reference .pth interop"),
+    ("pssr2_tpu.export", "Serving export (StableHLO)"),
     ("pssr2_tpu.bayes", "Bayesian optimization"),
     ("pssr2_tpu.profiler", "Profiling"),
     ("pssr2_tpu.ops.ssim", "SSIM ops"),

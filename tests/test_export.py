@@ -1,0 +1,64 @@
+"""Serving-export round trips (pssr2_tpu/export.py): serialize the eval
+forward via jax.export, reload, and match the live model's outputs."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+from pssr2_tpu.export import export_model, load_exported
+from pssr2_tpu.models import ResUNet, SwinIR
+
+
+def _lr(batch, res=16):
+    rng = np.random.default_rng(0)
+    return rng.random((batch, 1, res, res)).astype(np.float32) * 255
+
+
+def test_export_round_trip_dynamic_batch(tmp_path):
+    model = ResUNet(hidden=[8, 16], depth=1, scale=2)
+    model.eval()
+    path = tmp_path / "resunet.shlo"
+    export_model(model, str(path), lr_res=16)
+    serve = load_exported(str(path))
+    for batch in (1, 3):
+        lr = _lr(batch)
+        out = np.asarray(serve(lr))
+        ref = np.asarray(model(jnp.asarray(lr)))
+        assert out.shape == (batch, 1, 32, 32)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_export_static_batch_rejects_other_batch(tmp_path):
+    model = ResUNet(hidden=[8, 16], depth=1, scale=2)
+    model.eval()
+    path = tmp_path / "resunet_b1.shlo"
+    export_model(model, str(path), lr_res=16, dynamic_batch=False)
+    serve = load_exported(str(path))
+    assert serve(_lr(1)).shape == (1, 1, 32, 32)
+    with pytest.raises(Exception):
+        serve(_lr(2))
+
+
+def test_export_restores_training_mode(tmp_path):
+    model = ResUNet(hidden=[8, 16], depth=1, scale=2)
+    model.train()
+    export_model(model, str(tmp_path / "m.shlo"), lr_res=16)
+    # the first BatchNorm must still be in training mode afterwards
+    bn = model.norm
+    assert bn.use_running_average is False
+
+
+def test_export_swinir(tmp_path):
+    model = SwinIR(
+        image_size=16, window_size=4, embed_dim=16, depths=[1], num_heads=[4],
+        mlp_ratio=2, scale=2, drop_path_rate=0.0,
+    )
+    model.eval()
+    path = tmp_path / "swinir.shlo"
+    export_model(model, str(path), lr_res=16)
+    serve = load_exported(str(path))
+    lr = _lr(2)
+    np.testing.assert_allclose(
+        np.asarray(serve(lr)), np.asarray(model(jnp.asarray(lr))), atol=1e-5
+    )
