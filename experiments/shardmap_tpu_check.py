@@ -1,5 +1,6 @@
 """Hardware check: the shard_map DP step with REAL Pallas kernels inside
-(fused SSIM loss for ResUNet; whole-block fwd+VJP kernels for SwinIR) on
+(fused SSIM loss for ResUNet; whole-block fwd+VJP kernels for SwinIR;
+block-tail LN+MLP fwd+VJP kernels for RDResUNet) on
 a 1-device TPU mesh — CPU tests run the kernels in interpret mode, so
 this is the proof that pallas_call compiles and executes inside a
 shard_map body on device.  Prints one JSON line per model."""
@@ -20,7 +21,7 @@ def main():
 
     from pssr2_tpu.crappifiers import Poisson
     from pssr2_tpu.data.pipeline import make_device_gen_pair
-    from pssr2_tpu.models import ResUNet, SwinIR
+    from pssr2_tpu.models import RDResUNet, ResUNet, SwinIR
     from pssr2_tpu.optim import AdamW
     from pssr2_tpu.parallel.mesh import batch_sharding, data_mesh
     from pssr2_tpu.train import _build_shard_map_steps
@@ -38,6 +39,7 @@ def main():
     for name, model, B, res in (
         ("ResUNet", ResUNet(dtype=jnp.bfloat16), 16, 512),
         ("SwinIR", SwinIR(image_size=128, dtype=jnp.bfloat16), 16, 512),
+        ("RDResUNet", RDResUNet(dtype=jnp.bfloat16), 16, 512),
     ):
         model.train()
         optim = AdamW(1e-3)

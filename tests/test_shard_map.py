@@ -235,3 +235,57 @@ def test_shard_map_host_pair_batches(tmp_path):
     ref_step, _ = _build_paired_steps(MSELoss(), False, None)
     ref_loss, _, _ = ref_step(m2, o2, (hr, lr), None, jax.random.key(0), opt.lr, 8, False)
     np.testing.assert_allclose(float(sm_loss), float(ref_loss), rtol=2e-5)
+
+
+def test_rdtail_kernel_eligible_inside_shard_map():
+    """Same contract for the fused RDNet block-tail kernel
+    (ops/pallas/rdtail): inside the shard_map body it stays eligible and
+    traces (interpret mode stands in for the TPU lowering — the hardware
+    proof is experiments/shardmap_tpu_check.py)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from pssr2_tpu.models import RDResUNet
+    from pssr2_tpu.ops.pallas import rdtail
+    from pssr2_tpu.optim import AdamW
+    from pssr2_tpu.train import _build_shard_map_steps
+    from pssr2_tpu.util import MSELoss
+
+    mesh = _mesh()
+    model = RDResUNet(
+        hidden=[16, 8], rdnet_init=8, growth_rates=(8, 8), ds_blocks=(False, True),
+        ese_blocks=(False, True), n_blocks=2, scale=4,
+    )
+    model.train()
+    optim = AdamW(1e-3)
+    optimizer = nnx.Optimizer(model, optim.tx, wrt=nnx.Param)
+
+    def gen_pair(key, batch, augment, key_block=None):
+        hr = batch.astype(jnp.float32)
+        lr = hr[:, :, ::4, ::4]
+        return hr, lr
+
+    train_step, _ = _build_shard_map_steps(MSELoss(), False, gen_pair, mesh, 8)
+
+    calls = []
+    orig = rdtail.fused_rd_tail
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    old_mode = rdtail.MODE
+    rdtail.MODE = "interpret"
+    rdtail.fused_rd_tail = spy
+    try:
+        batch = jnp.asarray(
+            np.random.default_rng(0).integers(0, 255, (8, 1, 64, 64)), jnp.uint8
+        )
+        loss, _, _ = train_step(
+            model, optimizer, batch, None, jax.random.key(0), optim.lr, 8, False
+        )
+        assert np.isfinite(float(loss))
+        assert calls, "fused rd tail kernel was not traced inside shard_map"
+    finally:
+        rdtail.MODE = old_mode
+        rdtail.fused_rd_tail = orig
