@@ -42,6 +42,8 @@ def parse():
     parser.add_argument("-nd", "--n-devices", type=int, default=None, help="number of devices for the data mesh (default: all)")
     parser.add_argument("-dpsm", "--dp-shard-map", action="store_true", help="data-parallel stepping as an explicit shard_map program (fused Pallas kernels stay eligible per shard; see train_paired dp_shard_map)")
     parser.add_argument("-spd", "--steps-per-dispatch", type=int, default=1, help="train steps fused per dispatch (nnx.scan trainer)")
+    parser.add_argument("-ex", "--export", type=str, default=None, metavar="OUT.shlo", help="export the loaded model's eval forward as a serialized StableHLO serving artifact (requires -mp, ignores data args; see docs/guide/serving.md)")
+    parser.add_argument("-lres", "--lr-res", type=int, default=128, help="LR input resolution baked into the --export artifact")
 
     return parser
 
@@ -53,7 +55,11 @@ def main():
         return
     args = parser.parse_args()
 
-    if args.data_path is None:
+    if args.export is not None:
+        if args.model_path is None:
+            print("--model-path(-mp) must be provided with --export")
+            return
+    elif args.data_path is None:
         print("--data-path(-dp) must be provided")
         return
     elif args.model_path is None and not args.train:
@@ -76,6 +82,18 @@ def main():
     except (ValueError, SyntaxError, TypeError) as err:
         print(f"Invalid --model-type declaration {args.model_type!r}: {err}")
         return
+
+    if args.export is not None:
+        from .checkpoint import load_weights
+        from .export import export_model
+
+        print(f"Loading {type(model).__name__} model from {args.model_path}")
+        load_weights(model, args.model_path)
+        model.eval()
+        export_model(model, args.export, lr_res=args.lr_res)
+        print(f"Exported serving artifact to {args.export}")
+        return
+
     try:
         dataset = handle_declaration(
             args.data_type,

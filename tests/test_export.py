@@ -62,3 +62,29 @@ def test_export_swinir(tmp_path):
     np.testing.assert_allclose(
         np.asarray(serve(lr)), np.asarray(model(jnp.asarray(lr))), atol=1e-5
     )
+
+
+def test_cli_export(tmp_path, monkeypatch):
+    """`pssr2-tpu -mt ... -mp weights.npz -ex out.shlo` writes a servable
+    artifact (the CLI serving surface; docs/guide/serving.md)."""
+    import sys
+
+    from pssr2_tpu.checkpoint import save_weights
+    from pssr2_tpu.__main__ import main
+
+    model = ResUNet(hidden=[8, 16], depth=1, scale=2)
+    save_weights(model, str(tmp_path / "w.npz"))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "pssr2-tpu",
+            "-mt", "ResUNet(hidden=[8, 16], depth=1, scale=2)",
+            "-mp", str(tmp_path / "w.npz"),
+            "-ex", "m.shlo", "-lres", "16",
+        ],
+    )
+    main()
+    serve = load_exported(str(tmp_path / "m.shlo"))
+    assert serve(_lr(2)).shape == (2, 1, 32, 32)
