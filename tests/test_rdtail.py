@@ -171,3 +171,44 @@ def test_full_rdresunet_fused_matches_unfused(monkeypatch):
         mp.setattr(rdtail, "MODE", "off")
         ref = model(x)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-4, rtol=1e-5)
+
+
+def test_scan_trainer_with_fused_tail(monkeypatch):
+    """The nnx.scan multi-step trainer (train_paired steps_per_dispatch=K)
+    traces the fused tail kernel inside the scan body without issue and
+    matches the per-step path's losses."""
+    import jax
+    from pssr2_tpu.models import RDResUNet
+    from pssr2_tpu.optim import AdamW
+    from pssr2_tpu.train import _build_multi_train_step, _build_paired_steps
+    from pssr2_tpu.util import MSELoss
+
+    def gen_pair(key, batch, augment):
+        hr = batch.astype(jnp.float32)
+        return hr, hr[:, :, ::4, ::4]
+
+    def make():
+        model = RDResUNet(
+            hidden=[16, 8], rdnet_init=8, growth_rates=(8, 8), ds_blocks=(False, True),
+            ese_blocks=(False, True), n_blocks=2, scale=4, rngs=nnx.Rngs(0),
+        )
+        model.train()
+        optim = AdamW(1e-3)
+        return model, nnx.Optimizer(model, optim.tx, wrt=nnx.Param), optim
+
+    rng = np.random.default_rng(0)
+    batches = jnp.asarray(rng.integers(0, 255, (2, 4, 1, 32, 32)), jnp.uint8)
+    keys = jax.random.split(jax.random.key(0), 2)
+
+    m1, o1, opt = make()
+    multi = _build_multi_train_step(MSELoss(), False, gen_pair)
+    losses = multi(m1, o1, batches, None, keys, opt.lr)
+    assert np.isfinite(np.asarray(losses)).all()
+
+    m2, o2, _ = make()
+    step, _ = _build_paired_steps(MSELoss(), False, gen_pair)
+    per_step = []
+    for i in range(2):
+        loss, _, _ = step(m2, o2, batches[i], None, keys[i], opt.lr, 4, True)
+        per_step.append(float(loss))
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(per_step), rtol=2e-5)
