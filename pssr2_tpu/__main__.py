@@ -48,12 +48,32 @@ def parse():
     return parser
 
 
+def _setup_compile_cache():
+    """Enable the persistent XLA compilation cache (cross-process reuse
+    verified on this stack — CLAUDE.md cache_probe_r3): repeat CLI runs
+    with unchanged programs skip recompilation.  JAX_CACHE_DIR overrides
+    the location; set it empty to disable."""
+    import os
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.cache/pssr2_tpu_xla"))
+    if not cache_dir:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     parser = parse()
     if len(sys.argv) == 1:
         parser.print_help(sys.stderr)
         return
     args = parser.parse_args()
+    _setup_compile_cache()
 
     if args.export is not None:
         if args.model_path is None:
