@@ -30,6 +30,7 @@ MODULES = [
     ("pssr2_tpu.checkpoint", "Checkpointing"),
     ("pssr2_tpu.torch_import", "Reference .pth interop"),
     ("pssr2_tpu.export", "Serving export (StableHLO)"),
+    ("pssr2_tpu.quant", "int8 quantization (serving)"),
     ("pssr2_tpu.bayes", "Bayesian optimization"),
     ("pssr2_tpu.profiler", "Profiling"),
     ("pssr2_tpu.ops.ssim", "SSIM ops"),

@@ -29,6 +29,7 @@ __all__ = [
     "parallel",
     "optim",
     "checkpoint",
+    "quant",
     "Crappifier",
     "MultiCrappifier",
     "AdditiveGaussian",
@@ -43,6 +44,6 @@ def __getattr__(name):
     # import cost until models/training are actually used).
     import importlib
 
-    if name in ("data", "models", "ops", "parallel", "train", "predict", "util", "optim", "bayes", "checkpoint"):
+    if name in ("data", "models", "ops", "parallel", "train", "predict", "util", "optim", "bayes", "checkpoint", "quant", "export"):
         return importlib.import_module(f".{name}", __name__)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

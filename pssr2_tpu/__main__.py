@@ -44,6 +44,7 @@ def parse():
     parser.add_argument("-spd", "--steps-per-dispatch", type=int, default=1, help="train steps fused per dispatch (nnx.scan trainer)")
     parser.add_argument("-ex", "--export", type=str, default=None, metavar="OUT.shlo", help="export the loaded model's eval forward as a serialized StableHLO serving artifact (requires -mp, ignores data args; see docs/guide/serving.md)")
     parser.add_argument("-lres", "--lr-res", type=int, default=128, help="LR input resolution baked into the --export artifact")
+    parser.add_argument("-q8", "--int8", action="store_true", help="quantize the loaded model to int8 (W8A8, MXU 2x rate) before predict/export; calibrates activation scales on dataset LR batches (plain ResUNet only; see docs/guide/serving.md)")
 
     return parser
 
@@ -75,6 +76,13 @@ def main():
     args = parser.parse_args()
     _setup_compile_cache()
 
+    if args.int8 and args.train:
+        print("--int8(-q8) is a serving-path flag; it cannot be combined with --train")
+        return
+    if args.int8 and args.data_path is None:
+        print("--data-path(-dp) must be provided with --int8 (calibration batches)")
+        return
+
     if args.export is not None:
         if args.model_path is None:
             print("--model-path(-mp) must be provided with --export")
@@ -103,6 +111,17 @@ def main():
         print(f"Invalid --model-type declaration {args.model_type!r}: {err}")
         return
 
+    def parse_dataset():
+        try:
+            return handle_declaration(
+                args.data_type,
+                ["ImageDataset", "SlidingDataset", "PairedImageDataset", "PairedSlidingDataset"],
+                req=[f"'{item.strip()}'" for item in args.data_path.split(",")] + (["val_split=1"] if not args.train else []),
+            )
+        except (ValueError, SyntaxError, TypeError, FileNotFoundError) as err:
+            print(f"Invalid --data-type/--data-path declaration: {err}")
+            return None
+
     if args.export is not None:
         from .checkpoint import load_weights
         from .export import export_model
@@ -110,18 +129,19 @@ def main():
         print(f"Loading {type(model).__name__} model from {args.model_path}")
         load_weights(model, args.model_path)
         model.eval()
+        if args.int8:
+            dataset = parse_dataset()
+            if dataset is None:
+                return
+            model = _quantize_int8(model, dataset)
+            if model is None:
+                return
         export_model(model, args.export, lr_res=args.lr_res)
         print(f"Exported serving artifact to {args.export}")
         return
 
-    try:
-        dataset = handle_declaration(
-            args.data_type,
-            ["ImageDataset", "SlidingDataset", "PairedImageDataset", "PairedSlidingDataset"],
-            req=[f"'{item.strip()}'" for item in args.data_path.split(",")] + (["val_split=1"] if not args.train else []),
-        )
-    except (ValueError, SyntaxError, TypeError, FileNotFoundError) as err:
-        print(f"Invalid --data-type/--data-path declaration: {err}")
+    dataset = parse_dataset()
+    if dataset is None:
         return
 
     pssr_head(
@@ -141,8 +161,24 @@ def main():
         n_devices=args.n_devices,
         steps_per_dispatch=args.steps_per_dispatch,
         dp_shard_map=args.dp_shard_map,
+        int8=args.int8,
     )
     print("\n")
+
+
+def _quantize_int8(model, dataset):
+    """CLI int8 step: calibrate on dataset LR batches, quantize, or print
+    the actionable error and return None."""
+    from .quant import calibrate_from_dataset, quantize_resunet
+
+    model.eval()
+    try:
+        qmodel = quantize_resunet(model, calibrate_from_dataset(dataset))
+    except (NotImplementedError, ValueError) as err:
+        print(f"--int8: {err}")
+        return None
+    print("Quantized model to int8 (W8A8) for serving")
+    return qmodel
 
 
 def pssr_head(
@@ -165,6 +201,7 @@ def pssr_head(
     n_devices=None,
     dp_shard_map=False,
     steps_per_dispatch=1,
+    int8=False,
 ):
     """Shared train/predict orchestrator, also used by the napari plugin
     (reference: pssr/__main__.py:69-115)."""
@@ -196,6 +233,11 @@ def pssr_head(
 
         print(f"Loading {type(model).__name__} model from {model_path}")
         load_weights(model, model_path)
+
+    if int8 and not train:
+        model = _quantize_int8(model, dataset)
+        if model is None:
+            return
 
     mesh = None
     if len(devices) > 1:

@@ -33,7 +33,9 @@ def export_model(model, path, *, lr_res=128, channels=1, dynamic_batch=True,
     """Serialize ``model``'s eval forward to ``path``.
 
     Args:
-        model (nnx.Module) : Any model family (ResUNet/RDResUNet/SwinIR...).
+        model : Any nnx model family (ResUNet/RDResUNet/SwinIR...), or a
+            pure-functional executor exposing ``apply(params, x)`` +
+            ``params`` (e.g. the int8 :class:`~pssr2_tpu.quant.QuantizedResUNet`).
         path (str) : Output file for the serialized artifact.
         lr_res (int) : Input LR resolution (or (H, W) tuple).
         channels (int) : Input channel count.
@@ -46,13 +48,23 @@ def export_model(model, path, *, lr_res=128, channels=1, dynamic_batch=True,
     from jax import export as jex
 
     hw = (lr_res, lr_res) if isinstance(lr_res, int) else tuple(lr_res)
-    was_training = _is_training(model)
-    model.eval()
-    graphdef, state = nnx.split(model)
+    if isinstance(model, nnx.Module):
+        was_training = _is_training(model)
+        model.eval()
+        graphdef, state = nnx.split(model)
 
-    @jax.jit
-    def forward(lr):
-        return nnx.merge(graphdef, state)(lr)
+        @jax.jit
+        def forward(lr):
+            return nnx.merge(graphdef, state)(lr)
+
+    else:  # functional executor: apply(params, x) + params (quant.py)
+        was_training = False
+        params = model.params
+        apply = model.apply
+
+        @jax.jit
+        def forward(lr):
+            return apply(params, lr)
 
     if dynamic_batch:
         (b,) = jex.symbolic_shape("b")

@@ -7,7 +7,6 @@ SURVEY.md §2.3) is fixed here: each validation index is actually evaluated.
 """
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -29,14 +28,24 @@ def _eval_forward(model, mesh=None, batch_pad: int = None):
     the ``data`` axis (tile-sharded inference across chips for sliding
     datasets — the TPU analog of the reference's host-side tiling,
     SURVEY.md §5 long-context row), and outputs sliced back.
+
+    Besides nnx models, accepts pure-functional executors exposing
+    ``apply(params, x)`` + ``params`` (e.g. the int8
+    :class:`~pssr2_tpu.quant.QuantizedResUNet`).
     """
     model.eval()
-    graphdef, state = nnx.split(model)
+    if isinstance(model, nnx.Module):
+        graphdef, _state = nnx.split(model)
+        state = _state
 
-    @partial(jax.jit)
-    def forward(state, lr):
-        m = nnx.merge(graphdef, state)
-        return m(lr)
+        def raw(state, lr):
+            return nnx.merge(graphdef, state)(lr)
+
+    else:  # functional executor: apply(params, x) + params
+        state = model.params
+        raw = model.apply
+
+    forward = jax.jit(raw)
 
     if mesh is None:
         return lambda lr: forward(state, lr)
@@ -56,7 +65,7 @@ def _eval_forward(model, mesh=None, batch_pad: int = None):
 
     sm_forward = jax.jit(
         jax.shard_map(
-            lambda st, lr: nnx.merge(graphdef, st)(lr),
+            raw,
             mesh=mesh,
             in_specs=(P(), P("data")),
             out_specs=P("data"),

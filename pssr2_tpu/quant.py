@@ -1,0 +1,328 @@
+"""Post-training int8 quantization of the eval forward (serving path).
+
+A TPU-native extra with no reference counterpart (the reference serves
+the f32 torch eval forward only — reference: pssr/predict.py:39): the
+v5e MXU runs int8 x int8 -> int32 at 2x the bf16 rate (394 vs 197
+TOPS; measured 212.9 TOPS vs 132.2 TF/s on the same chained matmul,
+experiments/int8_probe2.json), so a weight-and-activation int8 (W8A8)
+forward buys serving throughput at a quality cost that is measured, not
+assumed (experiments/int8_quality.py gates it end-to-end).
+
+Scheme (standard static PTQ, symmetric):
+- weights: per-output-channel int8 scales (max-abs / 127);
+- activations: per-tensor int8 scales calibrated by running the fp
+  forward over user-supplied batches and recording max-abs at every
+  conv input (one jitted observe step returning the amax dict);
+- each conv runs int8 x int8 -> int32 on the MXU, then ONE fused
+  per-channel affine folds dequantization, the conv bias, and the
+  following eval-mode BatchNorm (y = conv_i32 * alpha + beta) before the
+  ReLU — the glue between convs stays in the model compute dtype.
+
+``quantize_resunet`` covers the ResUNet family without PSP/atrous
+extras (the flagship serving config); the executor is a pure function
+of a params pytree, so it jits, shards, and ``jax.export``s like any
+other forward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+from jax import lax
+
+from .ops.shuffle import pixel_shuffle
+from .ops.smallconv import phase_major_perm, shuffle_conv_small
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _weight_scales(kernel):
+    """Per-output-channel symmetric int8 quantization of an HWIO kernel:
+    (int8 kernel, f32 (C_out,) scales)."""
+    k = jnp.asarray(kernel, jnp.float32)
+    s = jnp.max(jnp.abs(k), axis=(0, 1, 2)) / 127.0
+    s = jnp.where(s == 0, 1.0, s)
+    return jnp.round(k / s).astype(jnp.int8), s
+
+
+def quantize_tensor(x, inv_scale):
+    """Symmetric per-tensor int8: clip(round(x / s), -127, 127)."""
+    q = jnp.round(x.astype(jnp.float32) * inv_scale)
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def int8_conv(x8, w8, *, strides=(1, 1)):
+    """int8 x int8 -> int32 SAME conv on the MXU."""
+    return lax.conv_general_dilated(
+        x8, w8, strides, "SAME", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _bn_affine(norm):
+    """Eval-mode BatchNorm as a per-channel affine (a, c): y = a*x + c."""
+    a = lax.rsqrt(norm.var[...] + norm.epsilon) * norm.scale[...]
+    return a, norm.bias[...] - norm.mean[...] * a
+
+
+def _conv_entry(conv_mod, norm, amax):
+    """Build one quantized conv site: int8 kernel + the fused dequant
+    affine (alpha, beta) folding activation scale, weight scales, conv
+    bias and the following eval BN."""
+    w8, sw = _weight_scales(conv_mod.kernel[...])
+    sx = jnp.maximum(jnp.asarray(amax, jnp.float32) / 127.0, 1e-12)
+    bias = (
+        jnp.asarray(conv_mod.bias[...], jnp.float32)
+        if conv_mod.bias is not None
+        else jnp.zeros((w8.shape[-1],), jnp.float32)
+    )
+    if norm is not None:
+        a, c = _bn_affine(norm)
+        alpha, beta = sx * sw * a, bias * a + c
+    else:
+        alpha, beta = sx * sw, bias
+    return {"w8": w8, "alpha": alpha, "beta": beta, "inv_sx": 1.0 / sx}
+
+
+def _qconv(entry, x, glue):
+    """Quantize -> int8 conv -> fused dequant affine, in ``glue`` dtype."""
+    y = int8_conv(quantize_tensor(x, entry["inv_sx"]), entry["w8"])
+    return (y.astype(jnp.float32) * entry["alpha"] + entry["beta"]).astype(glue)
+
+
+class _Observer:
+    """FP engine: runs the model's own modules, recording per-site amax."""
+
+    def __init__(self):
+        self.amax = {}
+
+    def _obs(self, key, x):
+        m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        self.amax[key] = jnp.maximum(self.amax[key], m) if key in self.amax else m
+
+    def resblock(self, site, blk, x):
+        self._obs(f"{site}.in", x)
+        h = x
+        for i in range(blk.n_layers):
+            h = blk.convs[i](h)
+            norm = blk.norms[i]
+            if norm is not None:
+                h = norm(h)
+            if i + 1 < blk.n_layers:
+                h = nnx.relu(h)
+                self._obs(f"{site}.l{i + 1}", h)
+        return nnx.relu(h + blk.respass(x))
+
+    def recon(self, site, rec, x):
+        self._obs(f"{site}.in", x)
+        return rec(x)
+
+
+class _Int8Engine:
+    """Quantized engine: pure function of the params pytree."""
+
+    def __init__(self, params, glue):
+        self.p = params
+        self.glue = glue
+
+    def resblock(self, site, blk, x):
+        h = x
+        for i in range(blk["n_layers"]):
+            # each conv entry folds its own dequant + bias + eval-BN affine
+            h = _qconv(self.p[f"{site}.c{i}"], h, self.glue)
+            if i + 1 < blk["n_layers"]:
+                h = nnx.relu(h)
+        r = _qconv(self.p[f"{site}.res"], x, self.glue)
+        return nnx.relu(h + r)
+
+    def recon(self, site, rec, x):
+        p = self.p[site]
+        y = int8_conv(quantize_tensor(x, p["inv_sx"]), p["w8"])
+        y = (y.astype(jnp.float32) * p["alpha"] + p["beta"]).astype(self.glue)
+        y = nnx.relu(y)
+        if rec["fused_head"]:
+            return shuffle_conv_small(
+                y, p["post_kernel"].astype(self.glue), p["post_bias"], scale=rec["scale"]
+            )
+        y = pixel_shuffle(y, rec["scale"], channels_last=True)
+        out = lax.conv_general_dilated(
+            y, p["post_kernel"].astype(self.glue), (1, 1), "SAME", dimension_numbers=_DN
+        )
+        return out + p["post_bias"].astype(self.glue)
+
+
+def _check_supported(model):
+    from .models.resunet import ResUNet
+
+    if not isinstance(model, ResUNet):
+        raise NotImplementedError(
+            f"quantize_resunet supports the ResUNet family; got {type(model).__name__}. "
+            "For RDResUNet/SwinIR serve the bf16 export instead."
+        )
+    if model.norm is None or model.reconstruction_pool is not None or model.encoder_pool is not None:
+        raise NotImplementedError(
+            "int8 quantization covers plain ResUNet (no dilations / PSP pooling); "
+            "serve the atrous variants with the bf16 export."
+        )
+    for blk in list(model.encoder) + list(model.decoder):
+        for norm in blk.norms:
+            if norm is not None and not norm.use_running_average:
+                raise ValueError("model must be in eval mode (model.eval()) before quantization.")
+
+
+def _flow(model_like, x, eng, *, norm_affine=None, norm_mod=None, dtype):
+    """The shared eval forward: identical traversal for the FP observer
+    (nnx modules) and the int8 executor (params pytree).
+    Mirrors models/resunet.py:166-231 (eval, no lane-fold)."""
+    x = x / 128.0 - 1.0
+    x = jnp.transpose(x, (0, 2, 3, 1))
+    if dtype is not None:
+        x = x.astype(dtype)
+    if norm_mod is not None:
+        x = norm_mod(x)
+    else:
+        a, c = norm_affine
+        x = (x * a.astype(x.dtype) + c.astype(x.dtype)).astype(x.dtype)
+
+    encoder, decoder, recon = model_like
+    skips = [x]
+    for idx, blk in enumerate(encoder):
+        x = eng.resblock(f"enc{idx}", blk, x)
+        if idx + 1 < len(encoder):
+            skips.append(x)
+            x = nnx.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+    for idx, blk in enumerate(decoder):
+        x = pixel_shuffle(x, 2, channels_last=True)
+        x = eng.resblock(f"dec{idx}", blk, jnp.concatenate([x, skips.pop()], axis=-1))
+    x = jnp.concatenate([x, skips.pop()], axis=-1)
+    x = eng.recon("recon", recon, x)
+    x = jnp.transpose(x, (0, 3, 1, 2))
+    return x.astype(jnp.float32) * 128.0 + 128.0
+
+
+class QuantizedResUNet:
+    """int8 (W8A8) eval executor with the model's NCHW [0,255] contract.
+
+    Pure-functional core: ``apply(params, x)`` closes over structure only,
+    so it jits/exports; ``__call__`` uses the stored params via one cached
+    jit.  Build with :func:`quantize_resunet`.
+    """
+
+    def __init__(self, params, meta):
+        self.params = params
+        self._meta = meta
+        self._jit = jax.jit(self.apply)
+
+    def apply(self, params, x):
+        m = self._meta
+        eng = _Int8Engine(params, m["glue"])
+        model_like = (m["encoder"], m["decoder"], m["recon"])
+        return _flow(
+            model_like, x, eng,
+            norm_affine=(params["norm.a"], params["norm.c"]),
+            dtype=m["dtype"],
+        )
+
+    def __call__(self, x):
+        return self._jit(self.params, x)
+
+    def eval(self):  # predict-loop surface parity (already eval-only)
+        return self
+
+    @property
+    def scale(self):
+        return self._meta["scale"]
+
+
+def calibrate_from_dataset(dataset, n_batches: int = 4, batch_size: int = 8):
+    """Pull LR calibration batches from a dataset for :func:`quantize_resunet`.
+
+    Uses the train split when the dataset has one (the distribution the
+    model was fit on), else the validation indices (e.g. a ``val_split=1``
+    predict-mode dataset).  Works for paired and ``is_lr`` datasets.
+    """
+    val = set(dataset.val_idx)
+    idx = [i for i in range(len(dataset)) if i not in val] or list(dataset.val_idx)
+    batches = []
+    for s in range(0, min(len(idx), n_batches * batch_size), batch_size):
+        items = [dataset[i] for i in idx[s : s + batch_size]]
+        lr = [np.asarray(it if dataset.is_lr else it[1], np.float32) for it in items]
+        batches.append(np.stack(lr))
+    return batches
+
+
+def quantize_resunet(model, calib_batches):
+    """Calibrate + quantize an eval-mode ResUNet.
+
+    Args:
+        model : eval-mode :class:`~pssr2_tpu.models.ResUNet` (plain
+            config: no dilations / PSP pooling).
+        calib_batches : iterable of NCHW [0,255] arrays (the LR inputs the
+            model will serve — e.g. a few batches from the validation
+            split).  More batches tighten the activation ranges.
+
+    Returns:
+        :class:`QuantizedResUNet`.
+    """
+    _check_supported(model)
+    batches = [jnp.asarray(np.asarray(b, np.float32)) for b in calib_batches]
+    if not batches:
+        raise ValueError("calib_batches must contain at least one batch.")
+
+    graphdef, state = nnx.split(model)
+
+    def observe(state, x):
+        m = nnx.merge(graphdef, state)
+        eng = _Observer()
+        model_like = (list(m.encoder), list(m.decoder), m.reconstruction)
+        _flow(model_like, x, eng, norm_mod=m.norm, dtype=m.dtype)
+        return eng.amax
+
+    observe = jax.jit(observe)
+    amax = None
+    for b in batches:
+        cur = observe(state, b)
+        amax = cur if amax is None else {k: jnp.maximum(amax[k], v) for k, v in cur.items()}
+    amax = {k: float(v) for k, v in amax.items()}
+
+    params, meta_enc, meta_dec = {}, [], []
+    for blocks, metas, prefix in (
+        (list(model.encoder), meta_enc, "enc"),
+        (list(model.decoder), meta_dec, "dec"),
+    ):
+        for idx, blk in enumerate(blocks):
+            site = f"{prefix}{idx}"
+            for i in range(blk.n_layers):
+                a = amax[f"{site}.in"] if i == 0 else amax[f"{site}.l{i}"]
+                params[f"{site}.c{i}"] = _conv_entry(blk.convs[i], blk.norms[i], a)
+            params[f"{site}.res"] = _conv_entry(blk.respass, None, amax[f"{site}.in"])
+            metas.append({"n_layers": blk.n_layers})
+
+    rec = model.reconstruction
+    perm = phase_major_perm(rec.hidden, rec.scale) if rec.fused_head else None
+    kernel = rec.pre.kernel[...]
+    bias = rec.pre.bias[...]
+    if perm is not None:
+        kernel, bias = kernel[..., perm], bias[perm]
+    w8, sw = _weight_scales(kernel)
+    sx = jnp.maximum(jnp.asarray(amax["recon.in"], jnp.float32) / 127.0, 1e-12)
+    params["recon"] = {
+        "w8": w8,
+        "alpha": sx * sw,
+        "beta": jnp.asarray(bias, jnp.float32),
+        "inv_sx": 1.0 / sx,
+        "post_kernel": jnp.asarray(rec.conv.kernel[...], jnp.float32),
+        "post_bias": jnp.asarray(rec.conv.bias[...], jnp.float32),
+    }
+    a, c = _bn_affine(model.norm)
+    params["norm.a"], params["norm.c"] = a, c
+
+    meta = {
+        "encoder": meta_enc,
+        "decoder": meta_dec,
+        "recon": {"fused_head": rec.fused_head, "scale": rec.scale},
+        "dtype": model.dtype,
+        "glue": model.dtype if model.dtype is not None else jnp.float32,
+        "scale": model.scale,
+    }
+    return QuantizedResUNet(params, meta)

@@ -64,6 +64,25 @@ def test_export_swinir(tmp_path):
     )
 
 
+def test_export_quantized_executor(tmp_path):
+    """The int8 executor exports like any other forward (quant.py docstring
+    promise): weights + scales baked in, round-trips bit-exactly."""
+    from pssr2_tpu.quant import quantize_resunet
+
+    model = ResUNet(hidden=[8, 16], depth=1, scale=2)
+    model.eval()
+    calib = [_lr(2)]
+    q = quantize_resunet(model, calib)
+    path = tmp_path / "resunet_int8.shlo"
+    export_model(q, str(path), lr_res=16)
+    serve = load_exported(str(path))
+    lr = _lr(3)
+    out = np.asarray(serve(lr))
+    ref = np.asarray(q(jnp.asarray(lr)))
+    assert out.shape == (3, 1, 32, 32)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_cli_export(tmp_path, monkeypatch):
     """`pssr2-tpu -mt ... -mp weights.npz -ex out.shlo` writes a servable
     artifact (the CLI serving surface; docs/guide/serving.md)."""
