@@ -44,7 +44,7 @@ def parse():
     parser.add_argument("-spd", "--steps-per-dispatch", type=int, default=1, help="train steps fused per dispatch (nnx.scan trainer)")
     parser.add_argument("-ex", "--export", type=str, default=None, metavar="OUT.shlo", help="export the loaded model's eval forward as a serialized StableHLO serving artifact (requires -mp, ignores data args; see docs/guide/serving.md)")
     parser.add_argument("-lres", "--lr-res", type=int, default=128, help="LR input resolution baked into the --export artifact")
-    parser.add_argument("-q8", "--int8", action="store_true", help="quantize the loaded model to int8 (W8A8, MXU 2x rate) before predict/export; calibrates activation scales on dataset LR batches (plain ResUNet only; see docs/guide/serving.md)")
+    parser.add_argument("-q8", "--int8", action="store_true", help="quantize the loaded model to int8 (W8A8, MXU 2x rate) before predict/export; calibrates activation scales on dataset LR batches (ResUNet family incl. atrous/PSP; see docs/guide/serving.md)")
 
     return parser
 

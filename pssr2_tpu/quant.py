@@ -18,10 +18,12 @@ Scheme (standard static PTQ, symmetric):
   following eval-mode BatchNorm (y = conv_i32 * alpha + beta) before the
   ReLU — the glue between convs stays in the model compute dtype.
 
-``quantize_resunet`` covers the ResUNet family without PSP/atrous
-extras (the flagship serving config); the executor is a pure function
-of a params pytree, so it jits, shards, and ``jax.export``s like any
-other forward.
+``quantize_resunet`` covers the whole ResUNet family — plain ResUNet,
+the atrous ResUNetA (per-branch pre-BN folded into the glue affine, the
+dilated convs run int8 on the MXU: dilation is free on the conv emitter,
+experiments/results_r3.md), and PSP pooling (1x1 convs int8, pool/resize
+glue); the executor is a pure function of a params pytree, so it jits,
+shards, and ``jax.export``s like any other forward.
 """
 
 import jax
@@ -51,11 +53,12 @@ def quantize_tensor(x, inv_scale):
     return jnp.clip(q, -127, 127).astype(jnp.int8)
 
 
-def int8_conv(x8, w8, *, strides=(1, 1)):
-    """int8 x int8 -> int32 SAME conv on the MXU."""
+def int8_conv(x8, w8, *, strides=(1, 1), dilation=(1, 1)):
+    """int8 x int8 -> int32 SAME conv on the MXU (dilation lowers to the
+    same emitter family as dense convs — free, results_r3.md)."""
     return lax.conv_general_dilated(
-        x8, w8, strides, "SAME", dimension_numbers=_DN,
-        preferred_element_type=jnp.int32,
+        x8, w8, strides, "SAME", rhs_dilation=dilation,
+        dimension_numbers=_DN, preferred_element_type=jnp.int32,
     )
 
 
@@ -84,9 +87,9 @@ def _conv_entry(conv_mod, norm, amax):
     return {"w8": w8, "alpha": alpha, "beta": beta, "inv_sx": 1.0 / sx}
 
 
-def _qconv(entry, x, glue):
+def _qconv(entry, x, glue, dilation=(1, 1)):
     """Quantize -> int8 conv -> fused dequant affine, in ``glue`` dtype."""
-    y = int8_conv(quantize_tensor(x, entry["inv_sx"]), entry["w8"])
+    y = int8_conv(quantize_tensor(x, entry["inv_sx"]), entry["w8"], dilation=dilation)
     return (y.astype(jnp.float32) * entry["alpha"] + entry["beta"]).astype(glue)
 
 
@@ -101,6 +104,10 @@ class _Observer:
         self.amax[key] = jnp.maximum(self.amax[key], m) if key in self.amax else m
 
     def resblock(self, site, blk, x):
+        from .models.blocks import ResBlockA
+
+        if isinstance(blk, ResBlockA):
+            return self._ablock(site, blk, x)
         self._obs(f"{site}.in", x)
         h = x
         for i in range(blk.n_layers):
@@ -112,6 +119,42 @@ class _Observer:
                 h = nnx.relu(h)
                 self._obs(f"{site}.l{i + 1}", h)
         return nnx.relu(h + blk.respass(x))
+
+    def _ablock(self, site, blk, x):
+        # mirrors blocks.ResBlockA.__call__ (BN -> ReLU -> dilated conv)
+        self._obs(f"{site}.in", x)
+        total = None
+        for b_idx, branch in enumerate(blk.branches):
+            h = x
+            for l_idx, (bn, cv) in enumerate(branch):
+                if bn is not None:
+                    h = bn(h)
+                h = nnx.relu(h)
+                self._obs(f"{site}.b{b_idx}.l{l_idx}", h)
+                h = cv(h)
+            total = h if total is None else total + h
+        return nnx.relu(total + blk.respass(x))
+
+    def psp(self, site, mod, x):
+        # mirrors blocks.PSPPooling.__call__
+        h, w = x.shape[-3], x.shape[-2]
+        chunks = jnp.split(x, len(mod.sizes), axis=-1)
+        outs = []
+        for idx, chunk in enumerate(chunks):
+            size = mod.sizes[idx]
+            if size > 1:
+                pooled = nnx.max_pool(chunk, window_shape=(size, size), strides=(size, size))
+                pooled = jax.image.resize(
+                    pooled, (*pooled.shape[:-3], h, w, pooled.shape[-1]), method="bilinear"
+                )
+            else:
+                pooled = chunk
+            self._obs(f"{site}.s{idx}", pooled)
+            cv, bn = mod.convs[idx]
+            outs.append(nnx.relu(bn(cv(pooled))))
+        x = jnp.concatenate(outs, axis=-1)
+        self._obs(f"{site}.out", x)
+        return nnx.relu(mod.norm_out(mod.conv_out(x)))
 
     def recon(self, site, rec, x):
         self._obs(f"{site}.in", x)
@@ -126,6 +169,8 @@ class _Int8Engine:
         self.glue = glue
 
     def resblock(self, site, blk, x):
+        if blk.get("type") == "A":
+            return self._ablock(site, blk, x)
         h = x
         for i in range(blk["n_layers"]):
             # each conv entry folds its own dequant + bias + eval-BN affine
@@ -134,6 +179,44 @@ class _Int8Engine:
                 h = nnx.relu(h)
         r = _qconv(self.p[f"{site}.res"], x, self.glue)
         return nnx.relu(h + r)
+
+    def _ablock(self, site, blk, x):
+        # pre-conv BN is an input-side affine: it cannot fold through the
+        # ReLU into the conv, so it runs as one glue-dtype FMA per layer
+        if x.shape[-2] < blk["min_size"]:
+            raise ValueError(
+                f"Tensor size {x.shape} is smaller than dilation kernel size {blk['min_size']}."
+            )
+        total = None
+        for b_idx in range(blk["n_branches"]):
+            h = x
+            d = blk["dilations"][b_idx]
+            for l_idx in range(blk["n_layers"]):
+                e = self.p[f"{site}.b{b_idx}.l{l_idx}"]
+                if "bn_a" in e:
+                    h = h * e["bn_a"].astype(h.dtype) + e["bn_c"].astype(h.dtype)
+                h = nnx.relu(h)
+                h = _qconv(e, h, self.glue, dilation=(d, d))
+            total = h if total is None else total + h
+        r = _qconv(self.p[f"{site}.res"], x, self.glue)
+        return nnx.relu(total + r)
+
+    def psp(self, site, meta, x):
+        h, w = x.shape[-3], x.shape[-2]
+        chunks = jnp.split(x, len(meta["sizes"]), axis=-1)
+        outs = []
+        for idx, chunk in enumerate(chunks):
+            size = meta["sizes"][idx]
+            if size > 1:
+                pooled = nnx.max_pool(chunk, window_shape=(size, size), strides=(size, size))
+                pooled = jax.image.resize(
+                    pooled, (*pooled.shape[:-3], h, w, pooled.shape[-1]), method="bilinear"
+                )
+            else:
+                pooled = chunk
+            outs.append(nnx.relu(_qconv(self.p[f"{site}.s{idx}"], pooled, self.glue)))
+        x = jnp.concatenate(outs, axis=-1)
+        return nnx.relu(_qconv(self.p[f"{site}.out"], x, self.glue))
 
     def recon(self, site, rec, x):
         p = self.p[site]
@@ -152,6 +235,7 @@ class _Int8Engine:
 
 
 def _check_supported(model):
+    from .models.blocks import ResBlockA
     from .models.resunet import ResUNet
 
     if not isinstance(model, ResUNet):
@@ -159,15 +243,19 @@ def _check_supported(model):
             f"quantize_resunet supports the ResUNet family; got {type(model).__name__}. "
             "For RDResUNet/SwinIR serve the bf16 export instead."
         )
-    if model.norm is None or model.reconstruction_pool is not None or model.encoder_pool is not None:
-        raise NotImplementedError(
-            "int8 quantization covers plain ResUNet (no dilations / PSP pooling); "
-            "serve the atrous variants with the bf16 export."
-        )
-    for blk in list(model.encoder) + list(model.decoder):
-        for norm in blk.norms:
-            if norm is not None and not norm.use_running_average:
-                raise ValueError("model must be in eval mode (model.eval()) before quantization.")
+
+    def bns(blk):
+        if isinstance(blk, ResBlockA):
+            return [bn for branch in blk.branches for bn, _ in branch]
+        return list(blk.norms)
+
+    norms = [model.norm] + [bn for blk in list(model.encoder) + list(model.decoder) for bn in bns(blk)]
+    for pool in (model.encoder_pool, model.reconstruction_pool):
+        if pool is not None:
+            norms += [bn for _, bn in pool.convs] + [pool.norm_out]
+    for norm in norms:
+        if norm is not None and not norm.use_running_average:
+            raise ValueError("model must be in eval mode (model.eval()) before quantization.")
 
 
 def _flow(model_like, x, eng, *, norm_affine=None, norm_mod=None, dtype):
@@ -180,20 +268,24 @@ def _flow(model_like, x, eng, *, norm_affine=None, norm_mod=None, dtype):
         x = x.astype(dtype)
     if norm_mod is not None:
         x = norm_mod(x)
-    else:
+    elif norm_affine is not None:
         a, c = norm_affine
         x = (x * a.astype(x.dtype) + c.astype(x.dtype)).astype(x.dtype)
 
-    encoder, decoder, recon = model_like
+    encoder, decoder, recon, enc_pool, rec_pool = model_like
     skips = [x]
     for idx, blk in enumerate(encoder):
         x = eng.resblock(f"enc{idx}", blk, x)
         if idx + 1 < len(encoder):
             skips.append(x)
             x = nnx.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+    if enc_pool is not None:
+        x = eng.psp("encp", enc_pool, x)
     for idx, blk in enumerate(decoder):
         x = pixel_shuffle(x, 2, channels_last=True)
         x = eng.resblock(f"dec{idx}", blk, jnp.concatenate([x, skips.pop()], axis=-1))
+    if rec_pool is not None:
+        x = eng.psp("reconp", rec_pool, x)
     x = jnp.concatenate([x, skips.pop()], axis=-1)
     x = eng.recon("recon", recon, x)
     x = jnp.transpose(x, (0, 3, 1, 2))
@@ -216,10 +308,10 @@ class QuantizedResUNet:
     def apply(self, params, x):
         m = self._meta
         eng = _Int8Engine(params, m["glue"])
-        model_like = (m["encoder"], m["decoder"], m["recon"])
+        model_like = (m["encoder"], m["decoder"], m["recon"], m["enc_pool"], m["rec_pool"])
         return _flow(
             model_like, x, eng,
-            norm_affine=(params["norm.a"], params["norm.c"]),
+            norm_affine=(params["norm.a"], params["norm.c"]) if "norm.a" in params else None,
             dtype=m["dtype"],
         )
 
@@ -255,8 +347,8 @@ def quantize_resunet(model, calib_batches):
     """Calibrate + quantize an eval-mode ResUNet.
 
     Args:
-        model : eval-mode :class:`~pssr2_tpu.models.ResUNet` (plain
-            config: no dilations / PSP pooling).
+        model : eval-mode :class:`~pssr2_tpu.models.ResUNet` (any family
+            config, including atrous dilations and PSP pooling).
         calib_batches : iterable of NCHW [0,255] arrays (the LR inputs the
             model will serve — e.g. a few batches from the validation
             split).  More batches tighten the activation ranges.
@@ -274,7 +366,10 @@ def quantize_resunet(model, calib_batches):
     def observe(state, x):
         m = nnx.merge(graphdef, state)
         eng = _Observer()
-        model_like = (list(m.encoder), list(m.decoder), m.reconstruction)
+        model_like = (
+            list(m.encoder), list(m.decoder), m.reconstruction,
+            m.encoder_pool, m.reconstruction_pool,
+        )
         _flow(model_like, x, eng, norm_mod=m.norm, dtype=m.dtype)
         return eng.amax
 
@@ -285,6 +380,8 @@ def quantize_resunet(model, calib_batches):
         amax = cur if amax is None else {k: jnp.maximum(amax[k], v) for k, v in cur.items()}
     amax = {k: float(v) for k, v in amax.items()}
 
+    from .models.blocks import ResBlockA
+
     params, meta_enc, meta_dec = {}, [], []
     for blocks, metas, prefix in (
         (list(model.encoder), meta_enc, "enc"),
@@ -292,11 +389,37 @@ def quantize_resunet(model, calib_batches):
     ):
         for idx, blk in enumerate(blocks):
             site = f"{prefix}{idx}"
+            if isinstance(blk, ResBlockA):
+                dilations = []
+                for b_idx, branch in enumerate(blk.branches):
+                    d = branch[0][1].kernel_dilation
+                    dilations.append(int(d[0] if isinstance(d, (tuple, list)) else d))
+                    for l_idx, (bn, cv) in enumerate(branch):
+                        entry = _conv_entry(cv, None, amax[f"{site}.b{b_idx}.l{l_idx}"])
+                        if bn is not None:
+                            entry["bn_a"], entry["bn_c"] = _bn_affine(bn)
+                        params[f"{site}.b{b_idx}.l{l_idx}"] = entry
+                params[f"{site}.res"] = _conv_entry(blk.respass, None, amax[f"{site}.in"])
+                metas.append({
+                    "type": "A",
+                    "n_branches": len(blk.branches),
+                    "n_layers": len(blk.branches[0]),
+                    "dilations": dilations,
+                    "min_size": blk.min_size,
+                })
+                continue
             for i in range(blk.n_layers):
                 a = amax[f"{site}.in"] if i == 0 else amax[f"{site}.l{i}"]
                 params[f"{site}.c{i}"] = _conv_entry(blk.convs[i], blk.norms[i], a)
             params[f"{site}.res"] = _conv_entry(blk.respass, None, amax[f"{site}.in"])
             metas.append({"n_layers": blk.n_layers})
+
+    for pool, site in ((model.encoder_pool, "encp"), (model.reconstruction_pool, "reconp")):
+        if pool is None:
+            continue
+        for idx, (cv, bn) in enumerate(pool.convs):
+            params[f"{site}.s{idx}"] = _conv_entry(cv, bn, amax[f"{site}.s{idx}"])
+        params[f"{site}.out"] = _conv_entry(pool.conv_out, pool.norm_out, amax[f"{site}.out"])
 
     rec = model.reconstruction
     perm = phase_major_perm(rec.hidden, rec.scale) if rec.fused_head else None
@@ -314,13 +437,18 @@ def quantize_resunet(model, calib_batches):
         "post_kernel": jnp.asarray(rec.conv.kernel[...], jnp.float32),
         "post_bias": jnp.asarray(rec.conv.bias[...], jnp.float32),
     }
-    a, c = _bn_affine(model.norm)
-    params["norm.a"], params["norm.c"] = a, c
+    if model.norm is not None:
+        a, c = _bn_affine(model.norm)
+        params["norm.a"], params["norm.c"] = a, c
 
     meta = {
         "encoder": meta_enc,
         "decoder": meta_dec,
         "recon": {"fused_head": rec.fused_head, "scale": rec.scale},
+        "enc_pool": None if model.encoder_pool is None else {"sizes": list(model.encoder_pool.sizes)},
+        "rec_pool": None
+        if model.reconstruction_pool is None
+        else {"sizes": list(model.reconstruction_pool.sizes)},
         "dtype": model.dtype,
         "glue": model.dtype if model.dtype is not None else jnp.float32,
         "scale": model.scale,

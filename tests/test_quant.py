@@ -146,13 +146,38 @@ def test_requires_eval_mode():
         quantize_resunet(model, _batches())
 
 
-def test_unsupported_configs_raise():
+def test_quantized_resuneta_close_to_fp():
+    """Atrous branches (pre-BN as glue affine, dilated int8 convs) + PSP
+    pooling (1x1 int8 convs) + encoder_pool all quantize."""
+    model = ResUNetA(hidden=[8, 16], scale=2, depth=1,
+                     dilations=[[1, 2], [1]], pool_sizes=[1, 2],
+                     encoder_pool=True, rngs=nnx.Rngs(0))
+    model.eval()
+    q = quantize_resunet(model, _batches(res=32))
+    x = jnp.asarray(_batches(n=1, res=32, seed=7)[0])
+    ref = np.asarray(model(x), np.float32)
+    out = np.asarray(q(x), np.float32)
+    assert out.shape == ref.shape
+    rel = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel < 0.05, f"int8 relative L2 error {rel:.4f}"
+    assert not np.array_equal(out, ref)
+    # atrous sites: branch-layer convs carry the pre-BN affine
+    assert "bn_a" in q.params["enc0.b0.l0"]
+    # PSP sites present for both pools
+    assert "encp.out" in q.params and "reconp.s0" in q.params
+    # atrous models have no input norm
+    assert "norm.a" not in q.params
+
+
+def test_resuneta_eval_mode_guard():
     model = ResUNetA(hidden=[8, 16], scale=2, depth=1,
                      dilations=[[1, 2], [1]], pool_sizes=[1, 2], rngs=nnx.Rngs(0))
-    model.eval()
-    with pytest.raises(NotImplementedError, match="atrous|PSP"):
-        quantize_resunet(model, _batches())
+    model.train()
+    with pytest.raises(ValueError, match="eval"):
+        quantize_resunet(model, _batches(res=32))
 
+
+def test_unsupported_configs_raise():
     class NotAResUNet:
         pass
 
