@@ -169,11 +169,13 @@ def main():
 def _quantize_int8(model, dataset):
     """CLI int8 step: calibrate on dataset LR batches, quantize, or print
     the actionable error and return None."""
-    from .quant import calibrate_from_dataset, quantize_resunet
+    from .models.rdresunet import RDResUNet
+    from .quant import calibrate_from_dataset, quantize_rdresunet, quantize_resunet
 
+    quantize = quantize_rdresunet if isinstance(model, RDResUNet) else quantize_resunet
     model.eval()
     try:
-        qmodel = quantize_resunet(model, calibrate_from_dataset(dataset))
+        qmodel = quantize(model, calibrate_from_dataset(dataset))
     except (NotImplementedError, ValueError) as err:
         print(f"--int8: {err}")
         return None

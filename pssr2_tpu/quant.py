@@ -326,6 +326,67 @@ class QuantizedResUNet:
         return self._meta["scale"]
 
 
+def _build_block_params(blocks, prefix, amax, params):
+    """Quantize a list of Res blocks (plain or atrous) into ``params``;
+    returns the per-block meta list."""
+    from .models.blocks import ResBlockA
+
+    metas = []
+    for idx, blk in enumerate(blocks):
+        site = f"{prefix}{idx}"
+        if isinstance(blk, ResBlockA):
+            dilations = []
+            for b_idx, branch in enumerate(blk.branches):
+                d = branch[0][1].kernel_dilation
+                dilations.append(int(d[0] if isinstance(d, (tuple, list)) else d))
+                for l_idx, (bn, cv) in enumerate(branch):
+                    entry = _conv_entry(cv, None, amax[f"{site}.b{b_idx}.l{l_idx}"])
+                    if bn is not None:
+                        entry["bn_a"], entry["bn_c"] = _bn_affine(bn)
+                    params[f"{site}.b{b_idx}.l{l_idx}"] = entry
+            params[f"{site}.res"] = _conv_entry(blk.respass, None, amax[f"{site}.in"])
+            metas.append({
+                "type": "A",
+                "n_branches": len(blk.branches),
+                "n_layers": len(blk.branches[0]),
+                "dilations": dilations,
+                "min_size": blk.min_size,
+            })
+            continue
+        for i in range(blk.n_layers):
+            a = amax[f"{site}.in"] if i == 0 else amax[f"{site}.l{i}"]
+            params[f"{site}.c{i}"] = _conv_entry(blk.convs[i], blk.norms[i], a)
+        params[f"{site}.res"] = _conv_entry(blk.respass, None, amax[f"{site}.in"])
+        metas.append({"n_layers": blk.n_layers})
+    return metas
+
+
+def _build_pool_params(pool, site, amax, params):
+    if pool is None:
+        return
+    for idx, (cv, bn) in enumerate(pool.convs):
+        params[f"{site}.s{idx}"] = _conv_entry(cv, bn, amax[f"{site}.s{idx}"])
+    params[f"{site}.out"] = _conv_entry(pool.conv_out, pool.norm_out, amax[f"{site}.out"])
+
+
+def _build_recon_params(rec, amax, params):
+    perm = phase_major_perm(rec.hidden, rec.scale) if rec.fused_head else None
+    kernel = rec.pre.kernel[...]
+    bias = rec.pre.bias[...]
+    if perm is not None:
+        kernel, bias = kernel[..., perm], bias[perm]
+    w8, sw = _weight_scales(kernel)
+    sx = jnp.maximum(jnp.asarray(amax["recon.in"], jnp.float32) / 127.0, 1e-12)
+    params["recon"] = {
+        "w8": w8,
+        "alpha": sx * sw,
+        "beta": jnp.asarray(bias, jnp.float32),
+        "inv_sx": 1.0 / sx,
+        "post_kernel": jnp.asarray(rec.conv.kernel[...], jnp.float32),
+        "post_bias": jnp.asarray(rec.conv.bias[...], jnp.float32),
+    }
+
+
 def calibrate_from_dataset(dataset, n_batches: int = 4, batch_size: int = 8):
     """Pull LR calibration batches from a dataset for :func:`quantize_resunet`.
 
@@ -380,67 +441,17 @@ def quantize_resunet(model, calib_batches):
         amax = cur if amax is None else {k: jnp.maximum(amax[k], v) for k, v in cur.items()}
     amax = {k: float(v) for k, v in amax.items()}
 
-    from .models.blocks import ResBlockA
-
-    params, meta_enc, meta_dec = {}, [], []
-    for blocks, metas, prefix in (
-        (list(model.encoder), meta_enc, "enc"),
-        (list(model.decoder), meta_dec, "dec"),
-    ):
-        for idx, blk in enumerate(blocks):
-            site = f"{prefix}{idx}"
-            if isinstance(blk, ResBlockA):
-                dilations = []
-                for b_idx, branch in enumerate(blk.branches):
-                    d = branch[0][1].kernel_dilation
-                    dilations.append(int(d[0] if isinstance(d, (tuple, list)) else d))
-                    for l_idx, (bn, cv) in enumerate(branch):
-                        entry = _conv_entry(cv, None, amax[f"{site}.b{b_idx}.l{l_idx}"])
-                        if bn is not None:
-                            entry["bn_a"], entry["bn_c"] = _bn_affine(bn)
-                        params[f"{site}.b{b_idx}.l{l_idx}"] = entry
-                params[f"{site}.res"] = _conv_entry(blk.respass, None, amax[f"{site}.in"])
-                metas.append({
-                    "type": "A",
-                    "n_branches": len(blk.branches),
-                    "n_layers": len(blk.branches[0]),
-                    "dilations": dilations,
-                    "min_size": blk.min_size,
-                })
-                continue
-            for i in range(blk.n_layers):
-                a = amax[f"{site}.in"] if i == 0 else amax[f"{site}.l{i}"]
-                params[f"{site}.c{i}"] = _conv_entry(blk.convs[i], blk.norms[i], a)
-            params[f"{site}.res"] = _conv_entry(blk.respass, None, amax[f"{site}.in"])
-            metas.append({"n_layers": blk.n_layers})
-
+    params = {}
+    meta_enc = _build_block_params(list(model.encoder), "enc", amax, params)
+    meta_dec = _build_block_params(list(model.decoder), "dec", amax, params)
     for pool, site in ((model.encoder_pool, "encp"), (model.reconstruction_pool, "reconp")):
-        if pool is None:
-            continue
-        for idx, (cv, bn) in enumerate(pool.convs):
-            params[f"{site}.s{idx}"] = _conv_entry(cv, bn, amax[f"{site}.s{idx}"])
-        params[f"{site}.out"] = _conv_entry(pool.conv_out, pool.norm_out, amax[f"{site}.out"])
-
-    rec = model.reconstruction
-    perm = phase_major_perm(rec.hidden, rec.scale) if rec.fused_head else None
-    kernel = rec.pre.kernel[...]
-    bias = rec.pre.bias[...]
-    if perm is not None:
-        kernel, bias = kernel[..., perm], bias[perm]
-    w8, sw = _weight_scales(kernel)
-    sx = jnp.maximum(jnp.asarray(amax["recon.in"], jnp.float32) / 127.0, 1e-12)
-    params["recon"] = {
-        "w8": w8,
-        "alpha": sx * sw,
-        "beta": jnp.asarray(bias, jnp.float32),
-        "inv_sx": 1.0 / sx,
-        "post_kernel": jnp.asarray(rec.conv.kernel[...], jnp.float32),
-        "post_bias": jnp.asarray(rec.conv.bias[...], jnp.float32),
-    }
+        _build_pool_params(pool, site, amax, params)
+    _build_recon_params(model.reconstruction, amax, params)
     if model.norm is not None:
         a, c = _bn_affine(model.norm)
         params["norm.a"], params["norm.c"] = a, c
 
+    rec = model.reconstruction
     meta = {
         "encoder": meta_enc,
         "decoder": meta_dec,
@@ -454,3 +465,148 @@ def quantize_resunet(model, calib_batches):
         "scale": model.scale,
     }
     return QuantizedResUNet(params, meta)
+
+
+def _rd_decoder_flow(x, feats, eng, decoder, ratios, enc_pool, rec_pool, recon):
+    """RDResUNet decoder-side traversal, shared by the FP observer and the
+    int8 executor (mirrors models/rdresunet.py:147-167)."""
+    skips = [x] + list(feats)
+    if enc_pool is not None:
+        skips[-1] = eng.psp("encp", enc_pool, skips[-1])
+    h = None
+    for idx, blk in enumerate(decoder):
+        h = skips.pop() if idx == 0 else jnp.concatenate([h, skips.pop()], axis=-1)
+        h = eng.resblock(f"dec{idx}", blk, h)
+        h = pixel_shuffle(h, ratios[idx + 1], channels_last=True)
+    if rec_pool is not None:
+        h = eng.psp("reconp", rec_pool, h)
+    h = jnp.concatenate([h, skips.pop()], axis=-1)
+    return eng.recon("recon", recon, h)
+
+
+class QuantizedRDResUNet:
+    """Hybrid int8 RDResUNet executor (NCHW [0,255] contract).
+
+    The RDNet encoder keeps its FP path (LayerNorm/GELU glue and
+    depthwise convs don't MXU-quantize profitably; the fused rdtail
+    Pallas kernels stay eligible); the decoder Res blocks, PSP pools and
+    reconstruction head — the conv-heavy majority of the forward — run
+    W8A8 exactly as in :class:`QuantizedResUNet`.  Pure-functional
+    ``apply(params, x)``: jits, shards, and ``jax.export``s.
+    """
+
+    def __init__(self, params, meta):
+        self.params = params
+        self._meta = meta
+        self._jit = jax.jit(self.apply)
+
+    def apply(self, params, x):
+        m = self._meta
+        x = x / 128.0 - 1.0
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        if m["dtype"] is not None:
+            x = x.astype(m["dtype"])
+        if m["norm_graphdef"] is not None:
+            x = nnx.merge(m["norm_graphdef"], params["fp_norm"])(x)
+        feats = nnx.merge(m["enc_graphdef"], params["fp_enc"])(x)
+        eng = _Int8Engine(params, m["glue"])
+        y = _rd_decoder_flow(
+            x, feats, eng, m["decoder"], m["ratios"], m["enc_pool"], m["rec_pool"], m["recon"]
+        )
+        y = jnp.transpose(y, (0, 3, 1, 2))
+        return y.astype(jnp.float32) * 128.0 + 128.0
+
+    def __call__(self, x):
+        return self._jit(self.params, x)
+
+    def eval(self):
+        return self
+
+    @property
+    def scale(self):
+        return self._meta["scale"]
+
+
+def quantize_rdresunet(model, calib_batches):
+    """Calibrate + hybrid-quantize an eval-mode RDResUNet(/A): FP RDNet
+    encoder, int8 decoder/PSP/reconstruction.  Same calibration contract
+    as :func:`quantize_resunet`."""
+    from .models.blocks import ResBlockA
+    from .models.rdresunet import RDResUNet
+
+    if not isinstance(model, RDResUNet):
+        raise NotImplementedError(
+            f"quantize_rdresunet supports RDResUNet(/A); got {type(model).__name__}."
+        )
+
+    def bns(blk):
+        if isinstance(blk, ResBlockA):
+            return [bn for branch in blk.branches for bn, _ in branch]
+        return list(blk.norms)
+
+    norms = [model.norm] + [bn for blk in model.decoder for bn in bns(blk)]
+    for pool in (model.encoder_pool, model.reconstruction_pool):
+        if pool is not None:
+            norms += [bn for _, bn in pool.convs] + [pool.norm_out]
+    for norm in norms:
+        if norm is not None and not norm.use_running_average:
+            raise ValueError("model must be in eval mode (model.eval()) before quantization.")
+
+    batches = [jnp.asarray(np.asarray(b, np.float32)) for b in calib_batches]
+    if not batches:
+        raise ValueError("calib_batches must contain at least one batch.")
+
+    graphdef, state = nnx.split(model)
+
+    def observe(state, x):
+        m = nnx.merge(graphdef, state)
+        eng = _Observer()
+        x = x / 128.0 - 1.0
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        if m.dtype is not None:
+            x = x.astype(m.dtype)
+        if m.norm is not None:
+            x = m.norm(x)
+        feats = m.encoder(x)
+        _rd_decoder_flow(
+            x, feats, eng, list(m.decoder), m.ratios,
+            m.encoder_pool, m.reconstruction_pool, m.reconstruction,
+        )
+        return eng.amax
+
+    observe = jax.jit(observe)
+    amax = None
+    for b in batches:
+        cur = observe(state, b)
+        amax = cur if amax is None else {k: jnp.maximum(amax[k], v) for k, v in cur.items()}
+    amax = {k: float(v) for k, v in amax.items()}
+
+    params = {}
+    meta_dec = _build_block_params(list(model.decoder), "dec", amax, params)
+    for pool, site in ((model.encoder_pool, "encp"), (model.reconstruction_pool, "reconp")):
+        _build_pool_params(pool, site, amax, params)
+    _build_recon_params(model.reconstruction, amax, params)
+
+    enc_graphdef, enc_state = nnx.split(model.encoder)
+    params["fp_enc"] = enc_state
+    norm_graphdef = None
+    if model.norm is not None:
+        norm_graphdef, norm_state = nnx.split(model.norm)
+        params["fp_norm"] = norm_state
+
+    rec = model.reconstruction
+    meta = {
+        "decoder": meta_dec,
+        "ratios": list(model.ratios),
+        "recon": {"fused_head": rec.fused_head, "scale": rec.scale},
+        "enc_pool": None if model.encoder_pool is None else {"sizes": list(model.encoder_pool.sizes)},
+        "rec_pool": None
+        if model.reconstruction_pool is None
+        else {"sizes": list(model.reconstruction_pool.sizes)},
+        "enc_graphdef": enc_graphdef,
+        "norm_graphdef": norm_graphdef,
+        "dtype": model.dtype,
+        "glue": model.dtype if model.dtype is not None else jnp.float32,
+        "scale": model.scale,
+    }
+    return QuantizedRDResUNet(params, meta)

@@ -83,6 +83,27 @@ def test_export_quantized_executor(tmp_path):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_export_hybrid_rdres_executor(tmp_path):
+    """The hybrid int8 RDResUNet executor (FP encoder state inside the
+    params pytree) exports and round-trips too."""
+    from pssr2_tpu.models import RDResUNet
+    from pssr2_tpu.quant import quantize_rdresunet
+
+    model = RDResUNet(hidden=[16, 16], scale=2, depth=1, rdnet_init=16,
+                      growth_rates=[4, 4], ds_blocks=[False, True],
+                      ese_blocks=[False, True], n_blocks=[1, 1], rngs=nnx.Rngs(0))
+    model.eval()
+    q = quantize_rdresunet(model, [_lr(2)])
+    path = tmp_path / "rdres_int8.shlo"
+    export_model(q, str(path), lr_res=16)
+    serve = load_exported(str(path))
+    lr = _lr(3)
+    out = np.asarray(serve(lr))
+    ref = np.asarray(q(jnp.asarray(lr)))
+    assert out.shape == (3, 1, 32, 32)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_cli_export(tmp_path, monkeypatch):
     """`pssr2-tpu -mt ... -mp weights.npz -ex out.shlo` writes a servable
     artifact (the CLI serving surface; docs/guide/serving.md)."""

@@ -185,6 +185,46 @@ def test_unsupported_configs_raise():
         quantize_resunet(NotAResUNet(), _batches())
 
 
+def _tiny_rdres():
+    from pssr2_tpu.models import RDResUNet
+
+    model = RDResUNet(hidden=[16, 16], scale=2, depth=1, rdnet_init=16,
+                      growth_rates=[4, 4], ds_blocks=[False, True],
+                      ese_blocks=[False, True], n_blocks=[1, 1], rngs=nnx.Rngs(0))
+    model.eval()
+    return model
+
+
+def test_quantized_rdresunet_close_to_fp():
+    """Hybrid quant: FP RDNet encoder + int8 decoder/recon matches the fp
+    forward closely (the encoder is bit-identical; only the decoder-side
+    convs carry quantization error)."""
+    from pssr2_tpu.quant import quantize_rdresunet
+
+    model = _tiny_rdres()
+    q = quantize_rdresunet(model, _batches(res=32))
+    x = jnp.asarray(_batches(n=1, res=32, seed=7)[0])
+    ref = np.asarray(model(x), np.float32)
+    out = np.asarray(q(x), np.float32)
+    assert out.shape == ref.shape
+    rel = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel < 0.05, f"int8 relative L2 error {rel:.4f}"
+    assert not np.array_equal(out, ref)
+    # encoder state ships FP, decoder convs int8
+    assert "fp_enc" in q.params and q.params["dec0.c0"]["w8"].dtype == jnp.int8
+
+
+def test_rdresunet_quant_guards():
+    from pssr2_tpu.quant import quantize_rdresunet
+
+    model = _tiny_rdres()
+    model.train()
+    with pytest.raises(ValueError, match="eval"):
+        quantize_rdresunet(model, _batches(res=32))
+    with pytest.raises(NotImplementedError, match="RDResUNet"):
+        quantize_rdresunet(object(), _batches(res=32))
+
+
 def test_empty_calibration_raises():
     with pytest.raises(ValueError, match="calib"):
         quantize_resunet(_tiny_model(), [])
