@@ -70,8 +70,34 @@ def main():
     ref = np.asarray(fwd(state, lr), np.float32)
     out = np.asarray(q(lr), np.float32)
     rel = float(np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-9))
-    results["rel_l2_int8_vs_bf16"] = round(rel, 5)
+    results["resuneta_rel_l2_int8_vs_bf16"] = round(rel, 5)
     print("rel_l2", rel, flush=True)
+
+    from pssr2_tpu.models import RDResUNet
+    from pssr2_tpu.quant import quantize_rdresunet
+
+    model = RDResUNet(dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
+    model.eval()
+    graphdef, state = nnx.split(model)
+    fwd = jax.jit(lambda s, x: nnx.merge(graphdef, s)(x))
+    t = _time(lambda: fwd(state, lr))
+    results["rdresunet_bf16"] = {"ms": round(t * 1e3, 2), "tiles_per_sec": round(B / t, 1)}
+    print("rdresunet_bf16", json.dumps(results["rdresunet_bf16"]), flush=True)
+
+    q = quantize_rdresunet(model, [lr_np[:4]])
+    tq = _time(lambda: q(lr))
+    results["rdresunet_int8_hybrid"] = {
+        "ms": round(tq * 1e3, 2),
+        "tiles_per_sec": round(B / tq, 1),
+        "speedup_vs_bf16": round(t / tq, 3),
+    }
+    print("rdresunet_int8_hybrid", json.dumps(results["rdresunet_int8_hybrid"]), flush=True)
+
+    ref = np.asarray(fwd(state, lr), np.float32)
+    out = np.asarray(q(lr), np.float32)
+    rel = float(np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-9))
+    results["rdresunet_rel_l2_int8_vs_bf16"] = round(rel, 5)
+    print("rd rel_l2", rel, flush=True)
 
     with open(os.path.join(HERE, "int8_family.json"), "w") as f:
         json.dump(results, f, indent=1)

@@ -214,6 +214,20 @@ def test_quantized_rdresunet_close_to_fp():
     assert "fp_enc" in q.params and q.params["dec0.c0"]["w8"].dtype == jnp.int8
 
 
+def test_quantized_mesh_inference_matches_single_device():
+    """The int8 executor tile-shards over a data mesh (predict._eval_forward
+    shard_map path) with outputs identical to the single-device run."""
+    from pssr2_tpu.parallel import data_mesh
+    from pssr2_tpu.predict import _eval_forward
+
+    model = _tiny_model()
+    q = quantize_resunet(model, _batches())
+    x = _batches(n=1, b=8, seed=9)[0]
+    single = np.asarray(q(jnp.asarray(x)))
+    sharded = np.asarray(_eval_forward(q, mesh=data_mesh())(x))
+    np.testing.assert_array_equal(sharded, single)
+
+
 def test_rdresunet_quant_guards():
     from pssr2_tpu.quant import quantize_rdresunet
 
