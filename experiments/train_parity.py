@@ -325,6 +325,68 @@ def run_parity(
     return psnr_j, psnr_t
 
 
+def run_ssim_seed(seed):
+    """One canonical-SSIM-row seed (the VERDICT r3 #4 power-up: >=5 seeds
+    on the row that ships).  Appends a JSON line to
+    train_parity_seeds.jsonl; combine with `python train_parity.py
+    combine` once 5+ seeds are in."""
+    import json
+
+    pj, pt, traj = run_parity(
+        seed=seed, loss="ssim", hr_res=192, n_images=96, n_steps=400,
+        batch_size=16, per_step_noise=True, track_steps=50,
+    )
+    row = {"seed": seed, "psnr_jax": pj, "psnr_torch": pt,
+           "delta_db": abs(pj - pt), "traj_max_rel": traj["max_rel"]}
+    with open(os.path.join(os.path.dirname(__file__), "train_parity_seeds.jsonl"), "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row), flush=True)
+
+
+def combine_seeds():
+    """Fold train_parity_seeds.jsonl into the canonical row of
+    train_parity.md (keeps the MSE/full-stack rows as measured r3)."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "train_parity_seeds.jsonl")
+    rows = {}
+    with open(path) as f:
+        for line in f:
+            r = json.loads(line)
+            rows[r["seed"]] = r  # last write per seed wins
+    rows = [rows[k] for k in sorted(rows)]
+    deltas = [r["delta_db"] for r in rows]
+    mean_d, max_d = sum(deltas) / len(deltas), max(deltas)
+    traj = max(r["traj_max_rel"] for r in rows)
+    line = (
+        f"| SSIMLoss(mix=0.8, MS), shared per-step noise (192->48), batch 16 "
+        f"| {len(rows)} | {mean_d:.3f} | "
+        f"{', '.join(f'{d:.3f}' for d in deltas)} | {traj:.4f} |"
+    )
+    md = os.path.join(os.path.dirname(__file__), "train_parity.md")
+    with open(md) as f:
+        text = f.read()
+    out_lines = []
+    for ln in text.splitlines():
+        if ln.startswith("| SSIMLoss(mix=0.8, MS), shared per-step noise"):
+            out_lines.append(line)
+        elif ln.startswith("Budget (BASELINE.md"):
+            ok = mean_d <= 0.1 and max_d <= 0.1
+            out_lines.append(
+                f"Budget (BASELINE.md north star): mean <= 0.1 dB on the controlled rows; "
+                f"canonical row also max <= 0.1 dB "
+                f"(mean {mean_d:.3f}, max {max_d:.3f}, {len(rows)} seeds).  "
+                f"{'PASS' if ok else 'FAIL'}"
+            )
+        else:
+            out_lines.append(ln)
+    with open(md, "w") as f:
+        f.write("\n".join(out_lines))
+    print(line)
+    print(f"mean {mean_d:.3f} max {max_d:.3f} over {len(rows)} seeds")
+    assert mean_d <= 0.1 and max_d <= 0.1
+
+
 def main():
     """Three comparisons, the controlled rows seed-averaged.
 
@@ -401,4 +463,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "combine":
+        combine_seeds()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ssim_seed":
+        run_ssim_seed(int(sys.argv[2]))
+    else:
+        main()
