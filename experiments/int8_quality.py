@@ -96,6 +96,12 @@ def main():
     with open(os.path.join(HERE, "int8_quality.json"), "w") as f:
         json.dump(results, f, indent=1)
 
+    # The gate: a quantization quality regression must FAIL the run, not
+    # just land silently in the artifact (advisor r3).  delta_db is
+    # fp PSNR minus int8 PSNR, so positive = int8 worse.
+    bad = {k: v for k, v in results.items() if v["delta_db"] > 0.01}
+    assert not bad, f"int8 PSNR cost exceeds 0.01 dB: {bad}"
+
 
 if __name__ == "__main__":
     main()

@@ -91,6 +91,11 @@ def run(family, mode, epochs):
 def main():
     import jax
 
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     family = sys.argv[1]
     epochs = int(os.environ.get("DEMO_EPOCHS", 220))
     print(f"devices: {jax.devices()}", flush=True)

@@ -44,7 +44,7 @@ def parse():
     parser.add_argument("-spd", "--steps-per-dispatch", type=int, default=1, help="train steps fused per dispatch (nnx.scan trainer)")
     parser.add_argument("-ex", "--export", type=str, default=None, metavar="OUT.shlo", help="export the loaded model's eval forward as a serialized StableHLO serving artifact (requires -mp, ignores data args; see docs/guide/serving.md)")
     parser.add_argument("-lres", "--lr-res", type=int, default=128, help="LR input resolution baked into the --export artifact")
-    parser.add_argument("-q8", "--int8", action="store_true", help="quantize the loaded model to int8 (W8A8, MXU 2x rate) before predict/export; calibrates activation scales on dataset LR batches (ResUNet family incl. atrous/PSP; see docs/guide/serving.md)")
+    parser.add_argument("-q8", "--int8", action="store_true", help="quantize the loaded model to int8 (W8A8) before predict/export; calibrates activation scales on dataset LR batches. Measured v5e speedups vs bf16: ResUNet 1.32x, RDResUNet hybrid 1.11x, atrous ResUNetA 0.777x (SLOWER — a warning is printed); see docs/guide/serving.md")
 
     return parser
 
@@ -174,6 +174,20 @@ def _quantize_int8(model, dataset):
 
     quantize = quantize_rdresunet if isinstance(model, RDResUNet) else quantize_resunet
     model.eval()
+    from .models.blocks import ResBlockA
+
+    blocks = list(getattr(model, "encoder", [])) + list(getattr(model, "decoder", []))
+    if not isinstance(model, RDResUNet) and any(isinstance(b, ResBlockA) for b in blocks):
+        # Measured on v5e (experiments/int8_family.json): atrous ResUNetA
+        # int8 serves at 0.777x the bf16 path — the pre-conv BN affines
+        # cannot fold through the ReLU, and the extra glue outweighs the
+        # MXU int8 rate win at these channel widths.  Honest flag, not a
+        # silent regression.
+        print(
+            "--int8 WARNING: atrous ResUNetA measured SLOWER than bf16 "
+            "(0.777x, experiments/int8_family.json) — consider serving "
+            "bf16 for this family (see docs/guide/serving.md)."
+        )
     try:
         qmodel = quantize(model, calibrate_from_dataset(dataset))
     except (NotImplementedError, ValueError) as err:

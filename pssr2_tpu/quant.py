@@ -234,6 +234,26 @@ class _Int8Engine:
         return out + p["post_bias"].astype(self.glue)
 
 
+def _assert_eval(model):
+    """Whole-tree eval-mode check: every BatchNorm must use running
+    averages and every Dropout (incl. DropPath's broadcast Dropout in the
+    FP RDNet encoder) must be deterministic.  Generic over the module
+    tree so new stochastic submodules can't slip past a hand-maintained
+    norm list (advisor r3: the RDResUNet guard inspected only the
+    decoder/PSP norms and caught encoder train mode transitively)."""
+    import flax.nnx as nnx
+
+    for path, mod in nnx.iter_modules(model):
+        if getattr(mod, "use_running_average", True) is False or (
+            isinstance(mod, nnx.Dropout) and not mod.deterministic
+        ):
+            name = ".".join(map(str, path)) or type(mod).__name__
+            raise ValueError(
+                "model must be in eval mode (model.eval()) before "
+                f"quantization; {name} ({type(mod).__name__}) is in train mode."
+            )
+
+
 def _check_supported(model):
     from .models.blocks import ResBlockA
     from .models.resunet import ResUNet
@@ -244,18 +264,7 @@ def _check_supported(model):
             "For RDResUNet/SwinIR serve the bf16 export instead."
         )
 
-    def bns(blk):
-        if isinstance(blk, ResBlockA):
-            return [bn for branch in blk.branches for bn, _ in branch]
-        return list(blk.norms)
-
-    norms = [model.norm] + [bn for blk in list(model.encoder) + list(model.decoder) for bn in bns(blk)]
-    for pool in (model.encoder_pool, model.reconstruction_pool):
-        if pool is not None:
-            norms += [bn for _, bn in pool.convs] + [pool.norm_out]
-    for norm in norms:
-        if norm is not None and not norm.use_running_average:
-            raise ValueError("model must be in eval mode (model.eval()) before quantization.")
+    _assert_eval(model)
 
 
 def _flow(model_like, x, eng, *, norm_affine=None, norm_mod=None, dtype):
@@ -539,18 +548,7 @@ def quantize_rdresunet(model, calib_batches):
             f"quantize_rdresunet supports RDResUNet(/A); got {type(model).__name__}."
         )
 
-    def bns(blk):
-        if isinstance(blk, ResBlockA):
-            return [bn for branch in blk.branches for bn, _ in branch]
-        return list(blk.norms)
-
-    norms = [model.norm] + [bn for blk in model.decoder for bn in bns(blk)]
-    for pool in (model.encoder_pool, model.reconstruction_pool):
-        if pool is not None:
-            norms += [bn for _, bn in pool.convs] + [pool.norm_out]
-    for norm in norms:
-        if norm is not None and not norm.use_running_average:
-            raise ValueError("model must be in eval mode (model.eval()) before quantization.")
+    _assert_eval(model)
 
     batches = [jnp.asarray(np.asarray(b, np.float32)) for b in calib_batches]
     if not batches:

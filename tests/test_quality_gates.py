@@ -1,0 +1,49 @@
+"""CI re-checks of the TPU-measured quality-gate artifacts.
+
+The gates themselves run on hardware (experiments/int8_quality.py,
+experiments/quality_fused.py — each asserts its budget at run time);
+these tests make the committed artifacts load-bearing: if a regression is
+ever committed (or an artifact edited without re-running the gate into a
+passing state), the suite goes red.  Advisor r3: the int8 gate previously
+only *recorded* deltas.
+"""
+
+import json
+import os
+
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+EXP = os.path.join(os.path.dirname(HERE), "experiments")
+
+
+def _load(name):
+    path = os.path.join(EXP, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not generated yet (hardware gate)")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_int8_quality_gate():
+    """Post-training int8 must cost <= 0.01 dB PSNR per family
+    (experiments/int8_quality.py protocol; delta_db = fp - int8)."""
+    results = _load("int8_quality.json")
+    assert set(results) >= {"ResUNet", "ResUNetA", "RDResUNet"}
+    for family, row in results.items():
+        assert row["delta_db"] <= 0.01, (family, row)
+        # and int8 must actually track the fp model, not just the metric
+        assert row["int8_vs_fp_psnr"] >= 40, (family, row)
+
+
+@pytest.mark.parametrize("family", ["swinir", "rdres"])
+def test_fused_vjp_convergence_gate(family):
+    """Convergence-endpoint PSNR of the fused-VJP training paths
+    (swinblock / rdtail Pallas kernels) must match the XLA-autodiff twin
+    to <= 0.05 dB after the full 220-epoch quality_demo protocol
+    (experiments/quality_fused.py; VERDICT r3 #2)."""
+    out = _load(f"quality_fused_{family}.json")
+    assert out["epochs"] >= 200, out
+    assert out["delta_db"] <= out["budget_db"], out
+    # both endpoints must be trained models, not divergent runs
+    assert out["fused"]["val_psnr"] > 20 and out["unfused"]["val_psnr"] > 20, out
