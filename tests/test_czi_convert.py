@@ -10,6 +10,7 @@ id 4 and a zlib payload, and the test injects a zlib "decoder" — the
 exact integration surface an imagecodecs-backed decoder uses in
 production (czi_convert.external_jxr_decoder)."""
 
+import os
 import struct
 import zlib
 
@@ -65,10 +66,62 @@ def test_jxr_without_decoder_raises_actionable_error(jxr_czi):
     assert "JpegXR" in msg and "czi_convert" in msg
 
 
-def test_external_decoder_absent_in_this_image():
-    # imagecodecs/czifile are deliberately not installed here; the utility
-    # must degrade to the clear error, not crash.
-    assert external_jxr_decoder() is None
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_committed_jxr_fixture_raises_actionable_error():
+    """The committed JXR-flagged fixture (tests/fixtures/jxr_flagged.czi)
+    must hit the clean error branch on any machine without a JXR decoder
+    — the no-imagecodecs posture the reference shares
+    (reference: pssr/data.py:579-619 requires czifile+imagecodecs)."""
+    if external_jxr_decoder() is not None:
+        pytest.skip("a real JXR decoder is installed; error branch n/a")
+    with pytest.raises(NotImplementedError) as exc:
+        czi.read_czi(os.path.join(FIXTURES, "jxr_flagged.czi"))
+    msg = str(exc.value)
+    assert "JpegXR" in msg and "czi_convert" in msg
+
+
+def test_committed_jxr_fixture_converts_with_injected_decoder(tmp_path):
+    """Convert-then-load round trip of the committed fixture through the
+    registry surface a production imagecodecs decoder would use."""
+    out = tmp_path / "converted.czi"
+    axes, shape = convert_czi(
+        os.path.join(FIXTURES, "jxr_flagged.czi"), out,
+        decoder=lambda data, dtype: zlib.decompress(data),
+    )
+    expected = np.load(os.path.join(FIXTURES, "jxr_flagged_expected.npy"))
+    assert axes == "TZYX" and shape == expected.shape
+    got, _ = czi.read_czi(out)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_real_imagecodecs_round_trip(tmp_path):
+    """Skip-if-absent proof of the REAL path: where imagecodecs is
+    installed, encode a true JpegXR CZI with it, then convert-then-load
+    through external_jxr_decoder()."""
+    try:
+        from imagecodecs import jpegxr_decode, jpegxr_encode  # noqa: F401
+    except ImportError:
+        pytest.skip("imagecodecs not installed in this image")
+    rng = np.random.default_rng(3)
+    array = rng.integers(0, 255, (2, 32, 40)).astype(np.uint8)
+    plain = tmp_path / "plain.czi"
+    czi.write_czi(plain, array, "CYX")
+    flagged = tmp_path / "real_jxr.czi"
+
+    def encode(data):
+        h, w = array.shape[-2:]
+        return bytes(jpegxr_encode(np.frombuffer(data, array.dtype).reshape(h, w), level=1.0))
+
+    _reencode_subblocks(plain, flagged, 4, encode)
+    decoder = external_jxr_decoder()
+    assert decoder is not None
+    out = tmp_path / "converted.czi"
+    axes, shape = convert_czi(flagged, out, decoder=decoder)
+    assert axes == "CYX" and shape == array.shape
+    got, _ = czi.read_czi(out)
+    np.testing.assert_array_equal(got, array)
 
 
 def test_convert_without_decoder_raises(jxr_czi, tmp_path):
