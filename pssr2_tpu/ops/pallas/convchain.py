@@ -1,0 +1,402 @@
+"""Fused ResBlock conv layer: per-channel affine + ReLU prologue -> 3x3
+conv -> bias -> per-channel (sum, sum-of-squares) stat epilogue, in a
+channels-on-sublanes / width-on-lanes activation layout.
+
+Motivation (round-3 profile, experiments/results_r3.md): the canonical
+ResUNet step spends 16.8 ms in the enc/dec conv family against a ~13 ms
+floor, plus 9.7 ms of separate f32[C]-output BatchNorm stat/apply fusions
+running at ~2.5x their byte floor.  Two structural causes, both fixed by
+this kernel's formulation:
+
+1. **Lane fill.**  The TPU conv emitter keeps C on lanes (physical
+   activation layout {3,0,2,1}: C lanes, N sublanes), so every C<=64
+   stage fills at most half of the MXU's 128 output lanes and pays a 2x
+   HBM lane-padding tax (CLAUDE.md round-3 facts).  Here activations are
+   (N, H, C, W): W=128 exactly fills the lanes, C=64 sits on sublanes
+   (no padding in bf16), and the conv becomes one
+   ``(C_out, 9*C_in) @ (9*C_in, W)`` MXU dot per output row, built from a
+   dx-shifted row stack with NO per-row copies (three lane-rolls of the
+   whole image once per grid step; three consecutive stack rows then
+   *reshape* to the (9*C_in, W) operand).
+
+2. **Stat passes.**  BatchNorm train statistics are a full-tensor read
+   per layer each direction as XLA fusions.  Here ``(sum(y), sum(y^2))``
+   accumulate in f32 on the fly while the conv output tile is still in
+   VMEM, into grid-revisited (C,) outputs — the rdtail/probe44 pattern —
+   and the previous layer's BN apply + ReLU runs as this layer's
+   prologue, so the normalized tensor is never materialized in HBM.
+
+Reference semantics being preserved: pssr/models/_blocks.py:20-41
+(ResBlock: conv3x3 -> BatchNorm2d -> ReLU chain) with this repo's
+FastBatchNorm formulation (ops/batchnorm.py) and sg_bias convs (bias adds
+under stop_gradient in train mode — models/blocks.py:SGBiasConv).
+
+Training: :func:`fused_conv_layer` is a ``jax.custom_vjp`` whose backward
+is a second Pallas pass of the same structure (transposed-kernel conv for
+dx; per-tap ``stack_row @ g_row^T`` dots grid-accumulated into f32 dW;
+upstream stat cotangents folded as ``g + ds1 + 2*y*ds2`` with y
+recomputed in-kernel).  See `_layer_bwd_kernel`.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# "auto" (kernel on TPU for eligible shapes), "off", "interpret" (CPU tests)
+MODE = "auto"
+# Per-call VMEM budget (bytes): x + shifted stack (3x) + y + f32 temps.
+VMEM_BUDGET = 100 * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=VMEM_BUDGET,
+)
+
+
+def _footprint(h, w, cin, cout, itemsize, train):
+    """VMEM bytes for one grid step (one image)."""
+    x = (h + 2) * cin * w * itemsize
+    stack = 3 * x
+    wb = h * cout * 3 * cin * itemsize  # broadcast ky-slab of the kernel
+    acc = h * cout * w * 4  # f32 batched-dot accumulator
+    y = h * cout * w * itemsize
+    if train:
+        acc += cout * 9 * cin * 4  # dW accumulator
+        stack += y  # g rows resident too
+    return x + stack + wb + acc + y
+
+
+def eligible(n, h, w, cin, cout, dtype, *, train, backend=None) -> bool:
+    """TPU + bf16 compute, lane-exact width, sublane-tile channels."""
+    from .guard import kernels_allowed
+
+    if MODE == "off" or not kernels_allowed():
+        return False
+    if MODE != "interpret":
+        backend = backend or jax.default_backend()
+        if backend != "tpu" or dtype != jnp.bfloat16:
+            return False
+    if w % 128 or cin % 8 or cout % 8:
+        return False
+    return _footprint(h, w, cin, cout, 2, train) <= VMEM_BUDGET
+
+
+def _shift_stack(hp, w):
+    """(R, C, W) rows -> (R, 3C, W) stack of dx-shifted copies, matching
+    kx order of a SAME 3x3 conv: block kx reads input column w + kx - 1."""
+
+    # static lane shifts as slice+pad (Mosaic cannot rotate bf16 vectors:
+    # tpu.dynamic_rotate is 32-bit only — probe45 first attempt)
+    zcol = jnp.zeros(hp.shape[:-1] + (1,), hp.dtype)
+
+    def shift(dx):  # out[..., w] = hp[..., w + dx], zero out of range
+        if dx == -1:
+            return jnp.concatenate([zcol, hp[..., : w - 1]], axis=-1)
+        return jnp.concatenate([hp[..., 1:], zcol], axis=-1)
+
+    return jnp.concatenate([shift(-1), hp, shift(1)], axis=1)
+
+
+def _prologue(x, ab_ref, cin):
+    """Previous layer's BN apply + ReLU as a per-channel affine in the
+    compute dtype (FastBatchNorm apply semantics: a/b folded from f32
+    stats, applied in the model dtype)."""
+    if ab_ref is None:
+        return x
+    a = ab_ref[0].reshape(cin, 1).astype(x.dtype)
+    b = ab_ref[1].reshape(cin, 1).astype(x.dtype)
+    return jnp.maximum(x * a + b, jnp.zeros((), x.dtype))
+
+
+def _layer_kernel(x_ref, wmat_ref, bias_ref, *rest, relu_in):
+    ab_ref = rest[0] if relu_in else None
+    y_ref, s1_ref, s2_ref = rest[-3:]
+    cin, w = x_ref.shape[2], x_ref.shape[3]
+    h_img, cout = y_ref.shape[1], y_ref.shape[2]
+
+    x = x_ref[0]  # (H, cin, W)
+    hx = _prologue(x, ab_ref, cin) if relu_in else x
+    zero = jnp.zeros((1, cin, w), hx.dtype)
+    hp = jnp.concatenate([zero, hx, zero], axis=0)  # (H+2, cin, W)
+    stack = _shift_stack(hp, w)  # (H+2, 3cin, W)
+
+    wmat = wmat_ref[...]  # (cout, 9cin) compute dtype
+    # match the XLA twin's rounding: conv rounds to the model dtype first,
+    # THEN adds the model-dtype bias (reference_layer / NHWC conv path)
+    bias = bias_ref[...].reshape(1, cout, 1).astype(y_ref.dtype)
+
+    # One batched (over H) MXU dot per ky tap: output row h reads input
+    # rows h-1+ky from the dx-shifted stack, so the ky slab is a STATIC
+    # H-row slice of it (Mosaic has no dynamic_slice of in-kernel values;
+    # batched dot_general beats a per-row loop anyway — probe23).
+    acc = jnp.zeros((h_img, cout, w), jnp.float32)
+    for ky in range(3):
+        rows = jax.lax.slice_in_dim(stack, ky, ky + h_img, axis=0)  # (H, 3cin, W)
+        wk = jax.lax.slice_in_dim(wmat, ky * 3 * cin, (ky + 1) * 3 * cin, axis=1)
+        wb = jnp.broadcast_to(wk[None], (h_img, cout, 3 * cin))
+        acc = acc + jax.lax.dot_general(
+            wb, rows, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+
+    y = acc.astype(y_ref.dtype) + bias
+    y_ref[0] = y
+    yf = y.astype(jnp.float32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        s1_ref[...] = jnp.zeros_like(s1_ref)
+        s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    s1_ref[...] += jnp.sum(yf, axis=(0, 2))
+    s2_ref[...] += jnp.sum(yf * yf, axis=(0, 2))
+
+
+def _pallas_layer(x, wmat, bias, ab, *, relu_in, interpret):
+    n, h, cin, w = x.shape
+    cout = wmat.shape[0]
+    specs = [
+        pl.BlockSpec((1, h, cin, w), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((cout, 9 * cin), lambda i: (0, 0)),
+        pl.BlockSpec((cout,), lambda i: (0,)),
+    ]
+    args = [x, wmat, bias]
+    if relu_in:
+        specs.append(pl.BlockSpec((2, cin), lambda i: (0, 0)))
+        args.append(ab)
+    return pl.pallas_call(
+        functools.partial(_layer_kernel, relu_in=relu_in),
+        grid=(n,),
+        in_specs=specs,
+        out_specs=[
+            pl.BlockSpec((1, h, cout, w), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((cout,), lambda i: (0,)),
+            pl.BlockSpec((cout,), lambda i: (0,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, cout, w), x.dtype),
+            jax.ShapeDtypeStruct((cout,), jnp.float32),
+            jax.ShapeDtypeStruct((cout,), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(*args)
+
+
+def _layer_bwd_kernel(x_ref, wmat_ref, y_ref, gy_ref, gs_ref, *rest, relu_in):
+    """Per-image VJP pass: stat-folded cotangent, dW/dbias/da/db grid
+    accumulation, transposed-kernel conv for dx."""
+    ab_ref = rest[0] if relu_in else None
+    if relu_in:
+        dx_ref, dw_ref, dbias_ref, dab_ref = rest[-4:]
+    else:
+        dx_ref, dw_ref, dbias_ref = rest[-3:]
+        dab_ref = None
+    cin, w = x_ref.shape[2], x_ref.shape[3]
+    h_img, cout = y_ref.shape[1], y_ref.shape[2]
+
+    x = x_ref[0]  # (H, cin, W)
+    # recompute the prologue (z for the ReLU mask, hx for the dW operand)
+    if relu_in:
+        a = ab_ref[0].reshape(cin, 1).astype(x.dtype)
+        b = ab_ref[1].reshape(cin, 1).astype(x.dtype)
+        z = x * a + b
+        hx = jnp.maximum(z, jnp.zeros((), x.dtype))
+    else:
+        hx = x
+    zero = jnp.zeros((1, cin, w), hx.dtype)
+    hp = jnp.concatenate([zero, hx, zero], axis=0)  # (H+2, cin, W)
+    stack = _shift_stack(hp, w)  # (H+2, 3cin, W)
+
+    # stat-folded cotangent, rounded exactly like the XLA twin: the
+    # f32-cast's VJP casts (gs1 + 2*yf*gs2) back to the model dtype, THEN
+    # autodiff sums it with gy
+    yf = y_ref[0].astype(jnp.float32)
+    gs1 = gs_ref[0].reshape(1, cout, 1)
+    gs2 = gs_ref[1].reshape(1, cout, 1)
+    g = gy_ref[0] + (gs1 + 2.0 * yf * gs2).astype(gy_ref.dtype)  # (H, cout, W)
+
+    wmat = wmat_ref[...]  # (cout, 9cin)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+        if dab_ref is not None:
+            dab_ref[...] = jnp.zeros_like(dab_ref)
+
+    gf = g.astype(jnp.float32)
+    dbias_ref[...] += jnp.sum(gf, axis=(0, 2))
+
+    # dW_ky = sum_h g[h] @ stack[h+ky]^T  (batched dot over H, then reduce)
+    for ky in range(3):
+        rows = jax.lax.slice_in_dim(stack, ky, ky + h_img, axis=0)  # (H, 3cin, W)
+        dwk = jax.lax.dot_general(
+            g, rows, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (H, cout, 3cin)
+        dw_ref[:, ky * 3 * cin : (ky + 1) * 3 * cin] += jnp.sum(dwk, axis=0)
+
+    # dx: d_stack[p] = sum_ky W_ky^T @ g_zpad[p - ky + 1] for the H live
+    # rows p in [1, H]; row offsets are STATIC slices of the zero-padded g
+    zrow = jnp.zeros((1, cout, w), g.dtype)
+    g_zpad = jnp.concatenate([zrow, g, zrow], axis=0)  # (H+2, cout, W)
+    d_stack = jnp.zeros((h_img, 3 * cin, w), jnp.float32)
+    for ky in range(3):
+        rg = jax.lax.slice_in_dim(g_zpad, 2 - ky, 2 - ky + h_img, axis=0)
+        wk = jax.lax.slice_in_dim(wmat, ky * 3 * cin, (ky + 1) * 3 * cin, axis=1)
+        wkt = jnp.broadcast_to(jnp.swapaxes(wk, 0, 1)[None], (h_img, 3 * cin, cout))
+        d_stack = d_stack + jax.lax.dot_general(
+            wkt, rg, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+
+    # un-shift the dx-stack blocks (adjoint of _shift_stack: the block
+    # that read column w+dx scatters back to column w-(-dx) = w - dx)
+    b0 = jax.lax.slice_in_dim(d_stack, 0, cin, axis=1)
+    b1 = jax.lax.slice_in_dim(d_stack, cin, 2 * cin, axis=1)
+    b2 = jax.lax.slice_in_dim(d_stack, 2 * cin, 3 * cin, axis=1)
+    zc = jnp.zeros(b0.shape[:-1] + (1,), b0.dtype)
+    # fwd block dx: out[w] = hp[w+dx]  =>  d_hp[w] += block[w - dx]
+    # block0 had dx=-1: d_hp[w] += b0[w+1];  block2 dx=+1: d_hp[w] += b2[w-1]
+    d_hx = (
+        jnp.concatenate([b0[..., 1:], zc], axis=-1)
+        + b1
+        + jnp.concatenate([zc, b2[..., : w - 1]], axis=-1)
+    )  # (H, cin, W) f32 — pad rows of hp carry no cotangent (they are constants)
+
+    if relu_in:
+        mask = (z > 0).astype(jnp.float32)
+        d_z = d_hx * mask
+        dab_ref[0] += jnp.sum(d_z * x.astype(jnp.float32), axis=(0, 2))
+        dab_ref[1] += jnp.sum(d_z, axis=(0, 2))
+        dx = d_z * ab_ref[0].reshape(cin, 1)
+    else:
+        dx = d_hx
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _pallas_layer_bwd(x, wmat, y, gy, gs, ab, *, relu_in, interpret):
+    n, h, cin, w = x.shape
+    cout = wmat.shape[0]
+    specs = [
+        pl.BlockSpec((1, h, cin, w), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((cout, 9 * cin), lambda i: (0, 0)),
+        pl.BlockSpec((1, h, cout, w), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, h, cout, w), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((2, cout), lambda i: (0, 0)),
+    ]
+    args = [x, wmat, y, gy, gs]
+    out_specs = [
+        pl.BlockSpec((1, h, cin, w), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((cout, 9 * cin), lambda i: (0, 0)),
+        pl.BlockSpec((cout,), lambda i: (0,)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, h, cin, w), x.dtype),
+        jax.ShapeDtypeStruct((cout, 9 * cin), jnp.float32),
+        jax.ShapeDtypeStruct((cout,), jnp.float32),
+    ]
+    if relu_in:
+        specs.append(pl.BlockSpec((2, cin), lambda i: (0, 0)))
+        args.append(ab)
+        out_specs.append(pl.BlockSpec((2, cin), lambda i: (0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((2, cin), jnp.float32))
+    return pl.pallas_call(
+        functools.partial(_layer_bwd_kernel, relu_in=relu_in),
+        grid=(n,),
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(*args)
+
+
+def kernel_matrix(kernel):
+    """HWIO (3, 3, cin, cout) conv kernel -> (cout, 9*cin) matrix in the
+    (ky, kx, cin) contraction order `_layer_kernel` builds its operand in."""
+    kh, kw, cin, cout = kernel.shape
+    return jnp.transpose(kernel, (3, 0, 1, 2)).reshape(cout, kh * kw * cin)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_layer(x, wmat, bias, ab, relu_in):
+    y, s1, s2 = _pallas_layer(
+        x,
+        wmat.astype(x.dtype),
+        bias.astype(x.dtype),
+        ab,
+        relu_in=relu_in,
+        interpret=MODE == "interpret",
+    )
+    return y, s1, s2
+
+
+def _fused_layer_fwd(x, wmat, bias, ab, relu_in):
+    y, s1, s2 = _fused_layer(x, wmat, bias, ab, relu_in)
+    return (y, s1, s2), (x, wmat, ab, y)
+
+
+def _fused_layer_bwd(relu_in, res, cts):
+    x, wmat, ab, y = res
+    gy, gs1, gs2 = cts
+    gs = jnp.stack([gs1, gs2]).astype(jnp.float32)
+    outs = _pallas_layer_bwd(
+        x,
+        wmat.astype(x.dtype),
+        y,
+        gy.astype(x.dtype),
+        gs,
+        ab,
+        relu_in=relu_in,
+        interpret=MODE == "interpret",
+    )
+    if relu_in:
+        dx, dw, dbias, dab = outs
+    else:
+        dx, dw, dbias = outs
+        dab = jnp.zeros_like(ab)
+    return dx, dw.astype(wmat.dtype), dbias.astype(jnp.float32), dab.astype(ab.dtype)
+
+
+_fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
+
+
+def fused_conv_layer(x, wmat, bias, ab=None, *, relu_in=True):
+    """One fused ResBlock layer on (N, H, C, W) activations.
+
+    y = conv3x3(relu(a*x + b)) + bias, plus f32 per-channel
+    (sum(y), sum(y^2)) for the following BatchNorm's train statistics.
+    ``ab`` is a (2, C_in) f32 array of the previous BN's folded apply
+    coefficients; ``relu_in=False`` skips the prologue entirely (chain
+    entry).  Returns (y, s1, s2).  Differentiable via a second Pallas
+    pass (`_layer_bwd_kernel`): dW/dbias/d_ab grid-accumulate in f32, the
+    BN-backward channel reductions ride the same pass, and dx comes from
+    the transposed-kernel conv on the stat-folded cotangent.  Callers
+    wanting the model's sg_bias semantics wrap ``bias`` in
+    ``jax.lax.stop_gradient`` (models/blocks.py:SGBiasConv).
+    """
+    if ab is None:
+        ab = jnp.zeros((2, x.shape[2]), jnp.float32)
+    return _fused_layer(x, wmat, bias, ab, relu_in)
+
+
+def reference_layer(x, wmat, bias, ab=None, *, relu_in=True):
+    """XLA twin on the same (N, H, C, W) layout (oracle for tests)."""
+    n, h, cin, w = x.shape
+    cout = wmat.shape[0]
+    if relu_in:
+        a = ab[0].reshape(1, 1, cin, 1).astype(x.dtype)
+        b = ab[1].reshape(1, 1, cin, 1).astype(x.dtype)
+        hx = jnp.maximum(x * a + b, 0)
+    else:
+        hx = x
+    # NHCW -> NHWC conv -> NHCW
+    hn = jnp.transpose(hx, (0, 1, 3, 2))
+    kernel = jnp.transpose(wmat.reshape(cout, 3, 3, cin), (1, 2, 3, 0)).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        hn, kernel, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    y = (y + bias.astype(x.dtype)).astype(x.dtype)
+    yt = jnp.transpose(y, (0, 1, 3, 2))
+    yf = yt.astype(jnp.float32)
+    return yt, jnp.sum(yf, axis=(0, 1, 3)), jnp.sum(yf * yf, axis=(0, 1, 3))

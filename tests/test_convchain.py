@@ -1,0 +1,163 @@
+"""Fused ResBlock conv-layer kernel (ops/pallas/convchain) parity tests —
+interpret mode on CPU against the XLA reference layer (reference
+semantics: pssr/models/_blocks.py:20-41 conv->BN->ReLU chain with this
+repo's FastBatchNorm apply and sg_bias)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pssr2_tpu.ops.pallas import convchain
+
+N, H, W, CIN, COUT = 2, 10, 128, 16, 8
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    old = convchain.MODE
+    convchain.MODE = "interpret"
+    yield
+    convchain.MODE = old
+
+
+def _inputs(seed, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(0, 1, (N, H, CIN, W)), dtype)
+    kernel = jnp.asarray(rng.normal(0, 0.1, (3, 3, CIN, COUT)), dtype)
+    bias = jnp.asarray(rng.normal(0, 0.1, (COUT,)), jnp.float32)
+    ab = jnp.asarray(np.stack([rng.uniform(0.5, 1.5, CIN), rng.normal(0, 0.3, CIN)]), jnp.float32)
+    return x, convchain.kernel_matrix(kernel), bias, ab
+
+
+@pytest.mark.parametrize("relu_in", [True, False])
+def test_fwd_matches_reference_f32(relu_in):
+    x, wmat, bias, ab = _inputs(0)
+    args = (x, wmat, bias, ab if relu_in else None)
+    yk, s1k, s2k = convchain.fused_conv_layer(*args, relu_in=relu_in)
+    yr, s1r, s2r = convchain.reference_layer(*args, relu_in=relu_in)
+    np.testing.assert_allclose(np.asarray(yk), np.asarray(yr), atol=1e-5)
+    # stats are f32 sums over ~20k elements; reduction-order noise only
+    np.testing.assert_allclose(np.asarray(s1k), np.asarray(s1r), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(s2k), np.asarray(s2r), atol=2e-1)
+
+
+def test_fwd_matches_reference_bf16():
+    x, wmat, bias, ab = _inputs(1, jnp.bfloat16)
+    yk, s1k, s2k = convchain.fused_conv_layer(x, wmat, bias, ab)
+    yr, s1r, s2r = convchain.reference_layer(x, wmat, bias, ab)
+    np.testing.assert_allclose(
+        np.asarray(yk, np.float32), np.asarray(yr, np.float32), atol=3e-2
+    )
+
+
+def test_border_handling_exact():
+    """Zero-padding semantics at all four edges: compare against a
+    numpy direct convolution on a tiny case."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, (1, 5, 4, 128)).astype(np.float32)  # (N,H,C,W)
+    k = rng.normal(0, 0.3, (3, 3, 4, 3)).astype(np.float32)  # HWIO
+    y_np = np.zeros((1, 5, 3, 128), np.float32)
+    xp = np.pad(x, ((0, 0), (1, 1), (0, 0), (1, 1)))
+    for hh in range(5):
+        for ww in range(128):
+            patch = xp[0, hh : hh + 3, :, ww : ww + 3]  # (ky, C, kx)
+            y_np[0, hh, :, ww] = np.tensordot(
+                patch.transpose(0, 2, 1), k, axes=([0, 1, 2], [0, 1, 2])
+            )
+    yk, _, _ = convchain.fused_conv_layer(
+        jnp.asarray(x), convchain.kernel_matrix(jnp.asarray(k)), jnp.zeros((3,)), relu_in=False
+    )
+    np.testing.assert_allclose(np.asarray(yk), y_np, atol=1e-4)
+
+
+@pytest.mark.parametrize("relu_in", [True, False])
+def test_vjp_matches_reference_f32(relu_in):
+    """Full VJP parity (dx, dW, dbias, d_ab) against jax.vjp of the XLA
+    reference layer, with nonzero cotangents on y AND both stat outputs
+    (the stat-folded g = gy + gs1 + 2y*gs2 path)."""
+    x, wmat, bias, ab = _inputs(3)
+    rng = np.random.default_rng(7)
+    gy = jnp.asarray(rng.normal(0, 1, (N, H, COUT, W)), jnp.float32)
+    gs1 = jnp.asarray(rng.normal(0, 0.1, (COUT,)), jnp.float32)
+    gs2 = jnp.asarray(rng.normal(0, 0.05, (COUT,)), jnp.float32)
+    cts = (gy, gs1, gs2)
+
+    args = (x, wmat, bias, ab)
+
+    def k_fn(x_, w_, b_, ab_):
+        return convchain.fused_conv_layer(x_, w_, b_, ab_, relu_in=relu_in)
+
+    def r_fn(x_, w_, b_, ab_):
+        return convchain.reference_layer(x_, w_, b_, ab_ if relu_in else None, relu_in=relu_in)
+
+    outk, vjpk = jax.vjp(k_fn, *args)
+    outr, vjpr = jax.vjp(r_fn, *args)
+    np.testing.assert_allclose(np.asarray(outk[0]), np.asarray(outr[0]), atol=1e-5)
+    gk = vjpk(cts)
+    gr = vjpr(cts)
+    names = ["dx", "dwmat", "dbias", "dab"]
+    for name, a, b in zip(names, gk, gr):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=5e-4 * scale, err_msg=name)
+    if not relu_in:
+        assert float(np.abs(np.asarray(gk[3])).max()) == 0.0
+
+
+def test_vjp_chain_two_layers_f32():
+    """Two chained fused layers with BN-coefficient glue between them:
+    grads through the full chain (incl. stat cotangents feeding layer 0)
+    match the XLA twin chain."""
+    x, wmat, bias, _ = _inputs(4)
+    rng = np.random.default_rng(11)
+    wmat2 = convchain.kernel_matrix(
+        jnp.asarray(rng.normal(0, 0.1, (3, 3, COUT, COUT)), jnp.float32)
+    )
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, COUT), jnp.float32)
+    beta = jnp.asarray(rng.normal(0, 0.2, COUT), jnp.float32)
+    count = N * H * W
+
+    def chain(layer_fn, x_, w1, w2, g_, b_):
+        y0, s1, s2 = layer_fn(x_, w1, bias, None, False)
+        mean = s1 / count
+        var = s2 / count - mean * mean
+        a = g_ * jax.lax.rsqrt(var + 1e-5)
+        b = b_ - mean * a
+        ab = jnp.stack([a, b])
+        y1, t1, t2 = layer_fn(y0, w2, bias, ab, True)
+        return jnp.sum(y1 * y1) + jnp.sum(t2) + jnp.sum(t1 * t1)
+
+    def k_layer(x_, w_, b_, ab_, relu_in):
+        return convchain.fused_conv_layer(x_, w_, b_, ab_, relu_in=relu_in)
+
+    def r_layer(x_, w_, b_, ab_, relu_in):
+        return convchain.reference_layer(x_, w_, b_, ab_, relu_in=relu_in)
+
+    gk = jax.grad(lambda *a: chain(k_layer, *a), argnums=(0, 1, 2, 3, 4))(
+        x, wmat, wmat2, gamma, beta
+    )
+    gr = jax.grad(lambda *a: chain(r_layer, *a), argnums=(0, 1, 2, 3, 4))(
+        x, wmat, wmat2, gamma, beta
+    )
+    for name, a, b in zip(["dx", "dw1", "dw2", "dgamma", "dbeta"], gk, gr):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=1e-3 * scale, err_msg=name)
+
+
+def test_eligibility_gates():
+    assert convchain.eligible(16, 128, 128, 64, 64, jnp.float32, train=True)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(convchain, "MODE", "off")
+        assert not convchain.eligible(16, 128, 128, 64, 64, jnp.float32, train=True)
+        mp.setattr(convchain, "MODE", "auto")
+        # off-TPU (CPU backend) never takes the compiled kernel
+        assert not convchain.eligible(16, 128, 128, 64, 64, jnp.bfloat16, train=True)
+    # lane-exact width and sublane-tile channels required
+    assert not convchain.eligible(16, 128, 100, 64, 64, jnp.float32, train=True)
+    assert not convchain.eligible(16, 128, 128, 63, 64, jnp.float32, train=True)
+    from pssr2_tpu.ops.pallas.guard import mesh_scope
+
+    with mesh_scope():
+        assert not convchain.eligible(16, 128, 128, 64, 64, jnp.float32, train=True)
