@@ -40,10 +40,17 @@ def test_int8_quality_gate():
 def test_fused_vjp_convergence_gate(family):
     """Convergence-endpoint PSNR of the fused-VJP training paths
     (swinblock / rdtail Pallas kernels) must match the XLA-autodiff twin
-    to <= 0.05 dB after the full 220-epoch quality_demo protocol
-    (experiments/quality_fused.py; VERDICT r3 #2)."""
+    to <= 0.05 dB MEAN over seeds after the full 220-epoch quality_demo
+    protocol (experiments/quality_fused.py; VERDICT r3 #2).  Mean over
+    seeds because single-seed endpoint deltas are fp-reorder chaos
+    (identical-math twins spread 0.01-0.11 dB/seed —
+    experiments/train_parity.md); a systematic kernel divergence (the
+    bf16-loss NaN precedent) survives averaging."""
     out = _load(f"quality_fused_{family}.json")
     assert out["epochs"] >= 200, out
-    assert out["delta_db"] <= out["budget_db"], out
-    # both endpoints must be trained models, not divergent runs
-    assert out["fused"]["val_psnr"] > 20 and out["unfused"]["val_psnr"] > 20, out
+    assert len(out["runs"]) >= 3, out
+    assert abs(out["mean_delta_db"]) <= out["budget_db"], out
+    # every endpoint must be a trained model, not a divergent run
+    for r in out["runs"]:
+        assert r["fused"]["val_psnr"] > 20 and r["unfused"]["val_psnr"] > 20, r
+        assert r["fused"]["kernel_calls"] > 0, r  # gate is non-vacuous
