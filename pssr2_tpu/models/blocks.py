@@ -186,6 +186,9 @@ class ResBlock(nnx.Module):
         self.n_layers = n_layers
 
     def __call__(self, x):
+        split = self._convchain_split(x)
+        if split is not None:
+            return self._convchain_call(x, *split)
         h = x
         for layer_idx in range(self.n_layers):
             norm = self.norms[layer_idx]
@@ -196,6 +199,106 @@ class ResBlock(nnx.Module):
                 h = norm(h)
             if layer_idx + 1 < self.n_layers:
                 h = nnx.relu(h)
+        return nnx.relu(h + self.respass(x))
+
+    def _convchain_split(self, x):
+        """(first fused layer index, impl) for running a suffix of the
+        conv stack as fused conv+BN-stat Pallas passes, or None.  Two
+        complementary kernels: ``"chain"`` (ops/pallas/convchain,
+        W-on-lanes layout for the C<=64 @W%128==0 stages) and ``"nhwc"``
+        (ops/pallas/convnhwc, tap-dots in the native layout for the deep
+        lane-full stages).  Layers before the split run the standard XLA
+        path; the chain impl needs a suffix of >=2 layers for its
+        NHWC<->NHCW boundary transposes to amortize."""
+        from ..ops.pallas import convchain, convnhwc
+
+        if x.ndim != 4:
+            return None
+        n, hh, ww, _ = x.shape
+        train = any(
+            norm is not None and not norm.use_running_average for norm in self.norms
+        )
+        for impl, mod_eligible, min_suffix in (
+            ("chain", convchain.eligible, 2),
+            ("nhwc", convnhwc.eligible, 1),
+        ):
+            k = None
+            for idx in range(self.n_layers - 1, -1, -1):
+                kern = self.convs[idx].kernel
+                if kern.shape[:2] != (3, 3):
+                    break
+                cin, cout = kern.shape[2], kern.shape[3]
+                if not mod_eligible(n, hh, ww, cin, cout, x.dtype, train=train):
+                    break
+                k = idx
+            if k is not None and self.n_layers - k >= min_suffix:
+                return k, impl
+        return None
+
+    def _convchain_call(self, x, k, impl):
+        """conv/BN/ReLU chain with layers [k, n) as fused Pallas passes
+        (impl "chain": (N,H,C,W) layout; impl "nhwc": native layout):
+        each pass emits the raw conv output + the f32 (sum, sum^2)
+        epilogue; the BN apply + ReLU rides as the NEXT pass's prologue
+        via FastBatchNorm.apply_coeffs, so normalized tensors are never
+        materialized in HBM.  Semantics identical to __call__
+        (reference: pssr/models/_blocks.py:20-41)."""
+        from jax import lax
+
+        from ..ops.batchnorm import _reduce_pair, STATS_FWD
+        from ..ops.pallas import convchain, convnhwc
+
+        n, hh, ww, _ = x.shape
+        count = n * hh * ww
+        h = x
+        ab = None
+        for idx in range(k):
+            norm = self.norms[idx]
+            sg = norm is not None and not norm.use_running_average
+            h = self.convs[idx](h, sg_bias=sg)
+            if idx < k - 1:
+                if norm is not None:
+                    h = norm(h)
+                h = nnx.relu(h)
+            elif norm is not None:
+                # stats here; the apply+ReLU folds into the first fused pass
+                if norm.use_running_average:
+                    ab = norm.apply_coeffs(None, None, count)
+                else:
+                    s1, s2 = _reduce_pair(STATS_FWD, h, h)
+                    ab = norm.apply_coeffs(s1, s2, count)
+            else:
+                h = nnx.relu(h)  # norm-free prefix layer: plain ReLU
+
+        if impl == "chain":
+            ht = jnp.transpose(h, (0, 1, 3, 2))  # NHWC -> NHCW
+            layer_fn, to_mat = convchain.fused_conv_layer, convchain.kernel_matrix
+        else:
+            ht = h
+            layer_fn, to_mat = convnhwc.fused_conv_layer_nhwc, convnhwc.kernel_taps
+        for idx in range(k, self.n_layers):
+            cv, norm = self.convs[idx], self.norms[idx]
+            wmat = to_mat(cv.kernel[...])
+            bias = cv.bias[...]
+            if norm is not None and not norm.use_running_average:
+                bias = lax.stop_gradient(bias)  # SGBiasConv semantics
+            ab_arg = None if ab is None else jnp.stack(ab)
+            ht, s1, s2 = layer_fn(ht, wmat, bias, ab_arg, relu_in=ab_arg is not None)
+            if norm is not None:
+                ab = norm.apply_coeffs(s1, s2, count)
+            else:
+                cout = ht.shape[2] if impl == "chain" else ht.shape[3]
+                ab = (jnp.ones((cout,), jnp.float32), jnp.zeros((cout,), jnp.float32))
+
+        # last layer's BN apply (no ReLU), back to NHWC, residual pass
+        a, b = ab
+        cdim = 2 if impl == "chain" else 3
+        shape = [1, 1, 1, 1]
+        shape[cdim] = -1
+        hf = ht.astype(jnp.float32) * a.reshape(shape) + b.reshape(shape)
+        h = hf.astype(ht.dtype)
+        if impl == "chain":
+            h = jnp.transpose(h, (0, 1, 3, 2))
         return nnx.relu(h + self.respass(x))
 
     def folded_call(self, x):

@@ -296,6 +296,33 @@ class FastBatchNorm(nnx.Module):
         self.dtype = dtype
         self.use_running_average = False
 
+    def apply_coeffs(self, s1, s2, count):
+        """Per-channel affine coefficients ``(a, b)`` (f32, ``y*a + b`` ==
+        this BN's output) from PRE-computed raw sums of the pre-BN tensor
+        — the seam for conv kernels that emit ``(sum(y), sum(y^2))`` as an
+        epilogue (ops/pallas/convchain).  Train mode: batch statistics
+        (psum'd over the sync axis inside shard_map DP, matching
+        :func:`bn_train`) + the running-stat updates; gradients flow into
+        ``s1``/``s2`` through the (C,)-sized algebra (the conv kernel's
+        VJP folds them back as stat cotangents).  Eval mode: running
+        statistics (``s1``/``s2`` may be None)."""
+        scale, bias = self.scale[...], self.bias[...]
+        if self.use_running_average:
+            a = lax.rsqrt(self.var[...] + self.epsilon) * scale
+            return a, bias - self.mean[...] * a
+        axis = _SYNC_AXIS.get()
+        if axis is not None:
+            s1 = lax.psum(s1, axis)
+            s2 = lax.psum(s2, axis)
+            count = count * lax.axis_size(axis)
+        mu = s1 / count
+        var = jnp.maximum(0.0, s2 / count - mu * mu)
+        m = self.momentum
+        self.mean[...] = lax.stop_gradient(m * self.mean[...] + (1 - m) * mu)
+        self.var[...] = lax.stop_gradient(m * self.var[...] + (1 - m) * var)
+        a = lax.rsqrt(var + self.epsilon) * scale
+        return a, bias - mu * a
+
     def __call__(self, x, folded: bool = False):
         """``folded=True``: x is lane-folded (B/2, H, W, 2C) with channel
         halves = two sample groups; statistics and running updates are the

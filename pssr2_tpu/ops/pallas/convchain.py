@@ -99,14 +99,15 @@ def _shift_stack(hp, w):
 
 
 def _prologue(x, ab_ref, cin):
-    """Previous layer's BN apply + ReLU as a per-channel affine in the
-    compute dtype (FastBatchNorm apply semantics: a/b folded from f32
-    stats, applied in the model dtype)."""
+    """Previous layer's BN apply + ReLU as a per-channel f32 affine
+    rounded once to the compute dtype (bn_train apply semantics: the
+    normalization arithmetic stays f32, the output is model-dtype)."""
     if ab_ref is None:
         return x
-    a = ab_ref[0].reshape(cin, 1).astype(x.dtype)
-    b = ab_ref[1].reshape(cin, 1).astype(x.dtype)
-    return jnp.maximum(x * a + b, jnp.zeros((), x.dtype))
+    a = ab_ref[0].reshape(cin, 1)
+    b = ab_ref[1].reshape(cin, 1)
+    z = x.astype(jnp.float32) * a + b
+    return jnp.maximum(z, 0.0).astype(x.dtype)
 
 
 def _layer_kernel(x_ref, wmat_ref, bias_ref, *rest, relu_in):
@@ -123,8 +124,9 @@ def _layer_kernel(x_ref, wmat_ref, bias_ref, *rest, relu_in):
 
     wmat = wmat_ref[...]  # (cout, 9cin) compute dtype
     # match the XLA twin's rounding: conv rounds to the model dtype first,
-    # THEN adds the model-dtype bias (reference_layer / NHWC conv path)
-    bias = bias_ref[...].reshape(1, cout, 1).astype(y_ref.dtype)
+    # THEN adds the model-dtype bias (reference_layer / NHWC conv path).
+    # Reshape while still f32 (Mosaic: minor-dim insertion is 32-bit only).
+    bias = bias_ref[...].astype(jnp.float32).reshape(1, cout, 1).astype(y_ref.dtype)
 
     # One batched (over H) MXU dot per ky tap: output row h reads input
     # rows h-1+ky from the dx-shifted stack, so the ky slab is a STATIC
@@ -198,10 +200,10 @@ def _layer_bwd_kernel(x_ref, wmat_ref, y_ref, gy_ref, gs_ref, *rest, relu_in):
     x = x_ref[0]  # (H, cin, W)
     # recompute the prologue (z for the ReLU mask, hx for the dW operand)
     if relu_in:
-        a = ab_ref[0].reshape(cin, 1).astype(x.dtype)
-        b = ab_ref[1].reshape(cin, 1).astype(x.dtype)
-        z = x * a + b
-        hx = jnp.maximum(z, jnp.zeros((), x.dtype))
+        a = ab_ref[0].reshape(cin, 1)
+        b = ab_ref[1].reshape(cin, 1)
+        z = x.astype(jnp.float32) * a + b
+        hx = jnp.maximum(z, 0.0).astype(x.dtype)
     else:
         hx = x
     zero = jnp.zeros((1, cin, w), hx.dtype)
@@ -385,9 +387,9 @@ def reference_layer(x, wmat, bias, ab=None, *, relu_in=True):
     n, h, cin, w = x.shape
     cout = wmat.shape[0]
     if relu_in:
-        a = ab[0].reshape(1, 1, cin, 1).astype(x.dtype)
-        b = ab[1].reshape(1, 1, cin, 1).astype(x.dtype)
-        hx = jnp.maximum(x * a + b, 0)
+        a = ab[0].reshape(1, 1, cin, 1)
+        b = ab[1].reshape(1, 1, cin, 1)
+        hx = jnp.maximum(x.astype(jnp.float32) * a + b, 0.0).astype(x.dtype)
     else:
         hx = x
     # NHCW -> NHWC conv -> NHCW

@@ -146,6 +146,208 @@ def test_vjp_chain_two_layers_f32():
         np.testing.assert_allclose(a, b, atol=1e-3 * scale, err_msg=name)
 
 
+class TestResBlockIntegration:
+    """ResBlock._convchain_call vs the standard XLA path: same module,
+    same input, outputs/grads/running-stats equal (interpret mode).
+    ``impl`` picks the kernel: "chain" (W=128, convchain) or "nhwc"
+    (W=20, convnhwc) — the two fused paths share the apply_coeffs glue."""
+
+    impl = "chain"
+
+    def _mod(self):
+        if self.impl == "chain":
+            return convchain
+        from pssr2_tpu.ops.pallas import convnhwc
+
+        return convnhwc
+
+    def _block(self, cin, depth=2, norm=True, seed=0):
+        from flax import nnx
+
+        from pssr2_tpu.models.blocks import ResBlock
+
+        # nhwc eligibility needs cout>=64 (deep-stage gate)
+        cout = 8 if self.impl == "chain" else 64
+        return ResBlock(cin, cout, depth, norm=norm, rngs=nnx.Rngs(seed))
+
+    def _x(self, cin, seed=0):
+        rng = np.random.default_rng(seed)
+        w = 128 if self.impl == "chain" else 20
+        return jnp.asarray(rng.normal(0, 1, (2, 6, w, cin)), jnp.float32)
+
+    def _run(self, block, x, mode, train=True):
+        from flax import nnx
+
+        block.train() if train else block.eval()
+        mod = self._mod()
+        old = mod.MODE
+        mod.MODE = mode
+        try:
+            if mode == "interpret":
+                split = block._convchain_split(x)
+                assert split is not None and split[1] == self.impl
+            graphdef, state = nnx.split(block)
+            m = nnx.merge(graphdef, state)  # fresh copy: isolate stat updates
+
+            def fwd(m_, x_):
+                return m_(x_)
+
+            out = fwd(m, x)
+            return out, nnx.state(m)
+        finally:
+            mod.MODE = old
+
+    @pytest.mark.parametrize("cin", [16, 4])  # 4 -> layer 0 ineligible (prefix path)
+    def test_forward_and_stats_match(self, cin):
+        block = self._block(cin)
+        x = self._x(cin)
+        y_f, st_f = self._run(block, x, "interpret")
+        y_r, st_r = self._run(block, x, "off")
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r), atol=2e-4)
+        flat_f = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(st_f)}
+        flat_r = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(st_r)}
+        assert flat_f.keys() == flat_r.keys()
+        for k in flat_f:
+            np.testing.assert_allclose(
+                np.asarray(flat_f[k]), np.asarray(flat_r[k]), atol=1e-4, err_msg=k
+            )
+
+    def test_eval_forward_matches(self):
+        block = self._block(16)
+        # non-trivial running stats
+        nf = block.norms[0].mean[...].shape[0]
+        block.norms[0].mean[...] = jnp.linspace(-0.5, 0.5, nf)
+        block.norms[0].var[...] = jnp.linspace(0.5, 1.5, nf)
+        x = self._x(16)
+        y_f, _ = self._run(block, x, "interpret", train=False)
+        y_r, _ = self._run(block, x, "off", train=False)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r), atol=2e-4)
+
+    @pytest.mark.parametrize("cin", [16, 4])
+    def test_grads_match(self, cin):
+        from flax import nnx
+
+        block = self._block(cin)
+        x = self._x(cin)
+
+        mod = self._mod()
+
+        def grads(mode):
+            old = mod.MODE
+            mod.MODE = mode
+            try:
+                graphdef, state = nnx.split(block)
+
+                def loss_fn(params, x_):
+                    m = nnx.merge(graphdef, params)
+                    m.train()
+                    y = m(x_)
+                    return jnp.sum(y * jnp.sin(y))
+
+                g_params, g_x = jax.grad(loss_fn, argnums=(0, 1))(state, x)
+                return g_params, g_x
+            finally:
+                mod.MODE = old
+
+        gp_f, gx_f = grads("interpret")
+        gp_r, gx_r = grads("off")
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), atol=5e-4)
+        leaves_f = jax.tree_util.tree_leaves_with_path(gp_f)
+        leaves_r = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(gp_r)}
+        assert len(leaves_f) == len(leaves_r)
+        for k, v in leaves_f:
+            ref = leaves_r[str(k)]
+            scale = max(float(np.abs(np.asarray(ref)).max()), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(v), np.asarray(ref), atol=1e-3 * scale, err_msg=str(k)
+            )
+
+    def test_norm_free_block_matches(self):
+        block = self._block(16, norm=False)
+        x = self._x(16)
+        y_f, _ = self._run(block, x, "interpret")
+        y_r, _ = self._run(block, x, "off")
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r), atol=2e-4)
+
+
+class TestResBlockIntegrationNHWC(TestResBlockIntegration):
+    """Same suite through the deep-stage NHWC tap-dot kernel
+    (ops/pallas/convnhwc) — W=20 makes convchain ineligible so the split
+    must pick impl 'nhwc'."""
+
+    impl = "nhwc"
+
+
+def test_shard_map_sync_bn_matches_single_program():
+    """Fused ResBlock chain inside shard_map DP with sync-BN: the
+    apply_coeffs psum glue (batch statistics + count over the mapped
+    axis) must reproduce the single-program full-batch run — outputs,
+    running stats, and pmean'd parameter grads (the train step's
+    contract, train.py:_build_shard_map_steps)."""
+    import jax
+    from flax import nnx
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from pssr2_tpu.models.blocks import ResBlock
+    from pssr2_tpu.ops import batchnorm as bn
+
+    old = convchain.MODE
+    convchain.MODE = "interpret"
+    try:
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(0, 1, (8, 4, 128, 16)), jnp.float32)
+        block = ResBlock(16, 8, 1, rngs=nnx.Rngs(3))
+        block.train()
+        graphdef, state = nnx.split(block)
+
+        def loss_fn(state_, x_):
+            m = nnx.merge(graphdef, state_)
+            y = m(x_)
+            out = jnp.sum(y * jnp.cos(y))
+            return out, nnx.state(m)
+
+        (ref_l, ref_state), ref_g = jax.value_and_grad(loss_fn, has_aux=True)(state, x)
+
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+
+        def local(state_, x_):
+            with bn.sync_axis("data"):
+                (l, new_state), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state_, x_
+                )
+            return jax.lax.psum(l, "data"), new_state, jax.lax.psum(g, "data")
+
+        sm = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(), P("data")),
+                out_specs=(P(), P(), P()),
+                check_vma=False,  # pallas_call inside (the production
+                # dp_shard_map steps do the same — train.py:217)
+            )
+        )
+        l, new_state, g = sm(state, x)
+        np.testing.assert_allclose(float(l), float(ref_l), rtol=1e-5)
+        for (pk, pv), (rk, rv) in zip(
+            jax.tree_util.tree_leaves_with_path(new_state),
+            jax.tree_util.tree_leaves_with_path(ref_state),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(pv), np.asarray(rv), atol=1e-5, err_msg=str(pk)
+            )
+        for (pk, pv), (rk, rv) in zip(
+            jax.tree_util.tree_leaves_with_path(g),
+            jax.tree_util.tree_leaves_with_path(ref_g),
+        ):
+            scale = max(float(np.abs(np.asarray(rv)).max()), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(pv), np.asarray(rv), atol=2e-5 * scale, err_msg=str(pk)
+            )
+    finally:
+        convchain.MODE = old
+
+
 def test_eligibility_gates():
     assert convchain.eligible(16, 128, 128, 64, 64, jnp.float32, train=True)
     with pytest.MonkeyPatch.context() as mp:
