@@ -42,7 +42,7 @@ def main():
     from pssr2_tpu.ops.resize import resize_bilinear_np
     from pssr2_tpu.optim import AdamW
     from pssr2_tpu.train import train_paired
-    from pssr2_tpu.util import SSIMLoss
+    from pssr2_tpu.util import MSELoss, SSIMLoss
 
     from quality_demo import make_phantoms
 
@@ -61,10 +61,10 @@ def main():
 
     epochs = int(os.environ.get("PROBE_EPOCHS", 20))
     candidates = [
-        ("mse_3e-4", None, 3e-4),
+        ("mse_3e-4", MSELoss(), 3e-4),
         ("ssim_1e-4", SSIMLoss(mix=0.8, ms=True), 1e-4),
         ("ssim_3e-4", SSIMLoss(mix=0.8, ms=True), 3e-4),
-        ("mse_1e-4", None, 1e-4),
+        ("mse_1e-4", MSELoss(), 1e-4),
     ]
     results = {}
     for name, loss_fn, lr in candidates:
@@ -72,11 +72,10 @@ def main():
             data_dir, hr_res=256, lr_scale=4, crappifier=Poisson(), val_split=0.1
         )
         model = make_model()
-        kwargs = {} if loss_fn is None else {"loss_fn": loss_fn}
         t0 = time.time()
         _, val_losses = train_paired(
-            model, dataset, batch_size=16, optim=AdamW(lr), epochs=epochs,
-            log_frequency=1000, steps_per_dispatch=8, seed=0, **kwargs,
+            model, dataset, batch_size=16, loss_fn=loss_fn, optim=AdamW(lr),
+            epochs=epochs, log_frequency=1000, steps_per_dispatch=8, seed=0,
         )
         wall = time.time() - t0
         model.eval()

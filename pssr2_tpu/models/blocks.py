@@ -270,12 +270,12 @@ class ResBlock(nnx.Module):
             else:
                 h = nnx.relu(h)  # norm-free prefix layer: plain ReLU
 
+        ht = h
         if impl == "chain":
-            ht = jnp.transpose(h, (0, 1, 3, 2))  # NHWC -> NHCW
             layer_fn, to_mat = convchain.fused_conv_layer, convchain.kernel_matrix
         else:
-            ht = h
             layer_fn, to_mat = convnhwc.fused_conv_layer_nhwc, convnhwc.kernel_taps
+        last = self.n_layers - 1
         for idx in range(k, self.n_layers):
             cv, norm = self.convs[idx], self.norms[idx]
             wmat = to_mat(cv.kernel[...])
@@ -283,22 +283,22 @@ class ResBlock(nnx.Module):
             if norm is not None and not norm.use_running_average:
                 bias = lax.stop_gradient(bias)  # SGBiasConv semantics
             ab_arg = None if ab is None else jnp.stack(ab)
-            ht, s1, s2 = layer_fn(ht, wmat, bias, ab_arg, relu_in=ab_arg is not None)
+            kwargs = {}
+            if impl == "chain":
+                # NHWC at the chain boundaries, transposed in VMEM inside
+                # the first/last pass (an HBM transpose costs ~0.5 ms/way)
+                kwargs = {"transpose_in": idx == k, "transpose_out": idx == last}
+            ht, s1, s2 = layer_fn(ht, wmat, bias, ab_arg, relu_in=ab_arg is not None, **kwargs)
             if norm is not None:
                 ab = norm.apply_coeffs(s1, s2, count)
             else:
-                cout = ht.shape[2] if impl == "chain" else ht.shape[3]
+                cout = ht.shape[2] if impl == "chain" and idx != last else ht.shape[3]
                 ab = (jnp.ones((cout,), jnp.float32), jnp.zeros((cout,), jnp.float32))
 
-        # last layer's BN apply (no ReLU), back to NHWC, residual pass
+        # last layer's BN apply (no ReLU) on the NHWC output, residual pass
         a, b = ab
-        cdim = 2 if impl == "chain" else 3
-        shape = [1, 1, 1, 1]
-        shape[cdim] = -1
-        hf = ht.astype(jnp.float32) * a.reshape(shape) + b.reshape(shape)
+        hf = ht.astype(jnp.float32) * a.reshape(1, 1, 1, -1) + b.reshape(1, 1, 1, -1)
         h = hf.astype(ht.dtype)
-        if impl == "chain":
-            h = jnp.transpose(h, (0, 1, 3, 2))
         return nnx.relu(h + self.respass(x))
 
     def folded_call(self, x):

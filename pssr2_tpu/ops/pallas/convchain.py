@@ -110,13 +110,17 @@ def _prologue(x, ab_ref, cin):
     return jnp.maximum(z, 0.0).astype(x.dtype)
 
 
-def _layer_kernel(x_ref, wmat_ref, bias_ref, *rest, relu_in):
+def _layer_kernel(x_ref, wmat_ref, bias_ref, *rest, relu_in, tin, tout):
     ab_ref = rest[0] if relu_in else None
     y_ref, s1_ref, s2_ref = rest[-3:]
-    cin, w = x_ref.shape[2], x_ref.shape[3]
-    h_img, cout = y_ref.shape[1], y_ref.shape[2]
+    cin = x_ref.shape[3] if tin else x_ref.shape[2]
+    w = x_ref.shape[2] if tin else x_ref.shape[3]
+    h_img = y_ref.shape[1]
+    cout = y_ref.shape[3] if tout else y_ref.shape[2]
 
-    x = x_ref[0]  # (H, cin, W)
+    x = x_ref[0]
+    if tin:  # NHWC block: transpose to (H, cin, W) in VMEM (no HBM pass)
+        x = jnp.swapaxes(x, 1, 2)
     hx = _prologue(x, ab_ref, cin) if relu_in else x
     zero = jnp.zeros((1, cin, w), hx.dtype)
     hp = jnp.concatenate([zero, hx, zero], axis=0)  # (H+2, cin, W)
@@ -142,7 +146,7 @@ def _layer_kernel(x_ref, wmat_ref, bias_ref, *rest, relu_in):
         )
 
     y = acc.astype(y_ref.dtype) + bias
-    y_ref[0] = y
+    y_ref[0] = jnp.swapaxes(y, 1, 2) if tout else y
     yf = y.astype(jnp.float32)
 
     @pl.when(pl.program_id(0) == 0)
@@ -154,11 +158,14 @@ def _layer_kernel(x_ref, wmat_ref, bias_ref, *rest, relu_in):
     s2_ref[...] += jnp.sum(yf * yf, axis=(0, 2))
 
 
-def _pallas_layer(x, wmat, bias, ab, *, relu_in, interpret):
-    n, h, cin, w = x.shape
+def _pallas_layer(x, wmat, bias, ab, *, relu_in, interpret, tin=False, tout=False):
+    if tin:
+        n, h, w, cin = x.shape
+    else:
+        n, h, cin, w = x.shape
     cout = wmat.shape[0]
     specs = [
-        pl.BlockSpec((1, h, cin, w), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, *x.shape[1:]), lambda i: (i, 0, 0, 0)),
         pl.BlockSpec((cout, 9 * cin), lambda i: (0, 0)),
         pl.BlockSpec((cout,), lambda i: (0,)),
     ]
@@ -166,17 +173,18 @@ def _pallas_layer(x, wmat, bias, ab, *, relu_in, interpret):
     if relu_in:
         specs.append(pl.BlockSpec((2, cin), lambda i: (0, 0)))
         args.append(ab)
+    y_shape = (n, h, w, cout) if tout else (n, h, cout, w)
     return pl.pallas_call(
-        functools.partial(_layer_kernel, relu_in=relu_in),
+        functools.partial(_layer_kernel, relu_in=relu_in, tin=tin, tout=tout),
         grid=(n,),
         in_specs=specs,
         out_specs=[
-            pl.BlockSpec((1, h, cout, w), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, *y_shape[1:]), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((cout,), lambda i: (0,)),
             pl.BlockSpec((cout,), lambda i: (0,)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, h, cout, w), x.dtype),
+            jax.ShapeDtypeStruct(y_shape, x.dtype),
             jax.ShapeDtypeStruct((cout,), jnp.float32),
             jax.ShapeDtypeStruct((cout,), jnp.float32),
         ],
@@ -185,7 +193,7 @@ def _pallas_layer(x, wmat, bias, ab, *, relu_in, interpret):
     )(*args)
 
 
-def _layer_bwd_kernel(x_ref, wmat_ref, y_ref, gy_ref, gs_ref, *rest, relu_in):
+def _layer_bwd_kernel(x_ref, wmat_ref, y_ref, gy_ref, gs_ref, *rest, relu_in, tin, tout):
     """Per-image VJP pass: stat-folded cotangent, dW/dbias/da/db grid
     accumulation, transposed-kernel conv for dx."""
     ab_ref = rest[0] if relu_in else None
@@ -194,10 +202,14 @@ def _layer_bwd_kernel(x_ref, wmat_ref, y_ref, gy_ref, gs_ref, *rest, relu_in):
     else:
         dx_ref, dw_ref, dbias_ref = rest[-3:]
         dab_ref = None
-    cin, w = x_ref.shape[2], x_ref.shape[3]
-    h_img, cout = y_ref.shape[1], y_ref.shape[2]
+    cin = x_ref.shape[3] if tin else x_ref.shape[2]
+    w = x_ref.shape[2] if tin else x_ref.shape[3]
+    h_img = y_ref.shape[1]
+    cout = y_ref.shape[3] if tout else y_ref.shape[2]
 
-    x = x_ref[0]  # (H, cin, W)
+    x = x_ref[0]
+    if tin:
+        x = jnp.swapaxes(x, 1, 2)  # NHWC residual -> (H, cin, W) in VMEM
     # recompute the prologue (z for the ReLU mask, hx for the dW operand)
     if relu_in:
         a = ab_ref[0].reshape(cin, 1)
@@ -213,10 +225,15 @@ def _layer_bwd_kernel(x_ref, wmat_ref, y_ref, gy_ref, gs_ref, *rest, relu_in):
     # stat-folded cotangent, rounded exactly like the XLA twin: the
     # f32-cast's VJP casts (gs1 + 2*yf*gs2) back to the model dtype, THEN
     # autodiff sums it with gy
-    yf = y_ref[0].astype(jnp.float32)
+    y_res = y_ref[0]
+    gy = gy_ref[0]
+    if tout:  # NHWC residual/cotangent -> (H, cout, W) in VMEM
+        y_res = jnp.swapaxes(y_res, 1, 2)
+        gy = jnp.swapaxes(gy, 1, 2)
+    yf = y_res.astype(jnp.float32)
     gs1 = gs_ref[0].reshape(1, cout, 1)
     gs2 = gs_ref[1].reshape(1, cout, 1)
-    g = gy_ref[0] + (gs1 + 2.0 * yf * gs2).astype(gy_ref.dtype)  # (H, cout, W)
+    g = gy + (gs1 + 2.0 * yf * gs2).astype(gy.dtype)  # (H, cout, W)
 
     wmat = wmat_ref[...]  # (cout, 9cin)
 
@@ -273,27 +290,29 @@ def _layer_bwd_kernel(x_ref, wmat_ref, y_ref, gy_ref, gs_ref, *rest, relu_in):
         dx = d_z * ab_ref[0].reshape(cin, 1)
     else:
         dx = d_hx
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dx = dx.astype(dx_ref.dtype)
+    dx_ref[0] = jnp.swapaxes(dx, 1, 2) if tin else dx
 
 
-def _pallas_layer_bwd(x, wmat, y, gy, gs, ab, *, relu_in, interpret):
-    n, h, cin, w = x.shape
+def _pallas_layer_bwd(x, wmat, y, gy, gs, ab, *, relu_in, interpret, tin=False, tout=False):
+    n = x.shape[0]
     cout = wmat.shape[0]
     specs = [
-        pl.BlockSpec((1, h, cin, w), lambda i: (i, 0, 0, 0)),
-        pl.BlockSpec((cout, 9 * cin), lambda i: (0, 0)),
-        pl.BlockSpec((1, h, cout, w), lambda i: (i, 0, 0, 0)),
-        pl.BlockSpec((1, h, cout, w), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, *x.shape[1:]), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec(wmat.shape, lambda i: (0, 0)),
+        pl.BlockSpec((1, *y.shape[1:]), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, *gy.shape[1:]), lambda i: (i, 0, 0, 0)),
         pl.BlockSpec((2, cout), lambda i: (0, 0)),
     ]
     args = [x, wmat, y, gy, gs]
+    cin = x.shape[3] if tin else x.shape[2]
     out_specs = [
-        pl.BlockSpec((1, h, cin, w), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, *x.shape[1:]), lambda i: (i, 0, 0, 0)),
         pl.BlockSpec((cout, 9 * cin), lambda i: (0, 0)),
         pl.BlockSpec((cout,), lambda i: (0,)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((n, h, cin, w), x.dtype),
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
         jax.ShapeDtypeStruct((cout, 9 * cin), jnp.float32),
         jax.ShapeDtypeStruct((cout,), jnp.float32),
     ]
@@ -303,7 +322,7 @@ def _pallas_layer_bwd(x, wmat, y, gy, gs, ab, *, relu_in, interpret):
         out_specs.append(pl.BlockSpec((2, cin), lambda i: (0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((2, cin), jnp.float32))
     return pl.pallas_call(
-        functools.partial(_layer_bwd_kernel, relu_in=relu_in),
+        functools.partial(_layer_bwd_kernel, relu_in=relu_in, tin=tin, tout=tout),
         grid=(n,),
         in_specs=specs,
         out_specs=out_specs,
@@ -320,8 +339,8 @@ def kernel_matrix(kernel):
     return jnp.transpose(kernel, (3, 0, 1, 2)).reshape(cout, kh * kw * cin)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _fused_layer(x, wmat, bias, ab, relu_in):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_layer(x, wmat, bias, ab, relu_in, tin, tout):
     y, s1, s2 = _pallas_layer(
         x,
         wmat.astype(x.dtype),
@@ -329,16 +348,18 @@ def _fused_layer(x, wmat, bias, ab, relu_in):
         ab,
         relu_in=relu_in,
         interpret=MODE == "interpret",
+        tin=tin,
+        tout=tout,
     )
     return y, s1, s2
 
 
-def _fused_layer_fwd(x, wmat, bias, ab, relu_in):
-    y, s1, s2 = _fused_layer(x, wmat, bias, ab, relu_in)
+def _fused_layer_fwd(x, wmat, bias, ab, relu_in, tin, tout):
+    y, s1, s2 = _fused_layer(x, wmat, bias, ab, relu_in, tin, tout)
     return (y, s1, s2), (x, wmat, ab, y)
 
 
-def _fused_layer_bwd(relu_in, res, cts):
+def _fused_layer_bwd(relu_in, tin, tout, res, cts):
     x, wmat, ab, y = res
     gy, gs1, gs2 = cts
     gs = jnp.stack([gs1, gs2]).astype(jnp.float32)
@@ -351,6 +372,8 @@ def _fused_layer_bwd(relu_in, res, cts):
         ab,
         relu_in=relu_in,
         interpret=MODE == "interpret",
+        tin=tin,
+        tout=tout,
     )
     if relu_in:
         dx, dw, dbias, dab = outs
@@ -363,23 +386,28 @@ def _fused_layer_bwd(relu_in, res, cts):
 _fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
 
 
-def fused_conv_layer(x, wmat, bias, ab=None, *, relu_in=True):
+def fused_conv_layer(x, wmat, bias, ab=None, *, relu_in=True, transpose_in=False,
+                     transpose_out=False):
     """One fused ResBlock layer on (N, H, C, W) activations.
 
     y = conv3x3(relu(a*x + b)) + bias, plus f32 per-channel
     (sum(y), sum(y^2)) for the following BatchNorm's train statistics.
     ``ab`` is a (2, C_in) f32 array of the previous BN's folded apply
     coefficients; ``relu_in=False`` skips the prologue entirely (chain
-    entry).  Returns (y, s1, s2).  Differentiable via a second Pallas
-    pass (`_layer_bwd_kernel`): dW/dbias/d_ab grid-accumulate in f32, the
-    BN-backward channel reductions ride the same pass, and dx comes from
-    the transposed-kernel conv on the stat-folded cotangent.  Callers
-    wanting the model's sg_bias semantics wrap ``bias`` in
+    entry).  ``transpose_in``/``transpose_out`` accept/emit NHWC at the
+    chain boundaries, moving the layout change into VMEM on load/store —
+    the XLA-level NHWC<->NHCW transposes cost ~0.5 ms/step each way in
+    HBM (r4 profile: 4.2 ms "data formatting").  Returns (y, s1, s2).
+    Differentiable via a second Pallas pass (`_layer_bwd_kernel`):
+    dW/dbias/d_ab grid-accumulate in f32, the BN-backward channel
+    reductions ride the same pass, and dx comes from the
+    transposed-kernel conv on the stat-folded cotangent.  Callers wanting
+    the model's sg_bias semantics wrap ``bias`` in
     ``jax.lax.stop_gradient`` (models/blocks.py:SGBiasConv).
     """
     if ab is None:
-        ab = jnp.zeros((2, x.shape[2]), jnp.float32)
-    return _fused_layer(x, wmat, bias, ab, relu_in)
+        ab = jnp.zeros((2, x.shape[3] if transpose_in else x.shape[2]), jnp.float32)
+    return _fused_layer(x, wmat, bias, ab, relu_in, transpose_in, transpose_out)
 
 
 def reference_layer(x, wmat, bias, ab=None, *, relu_in=True):

@@ -105,6 +105,37 @@ def test_vjp_matches_reference_f32(relu_in):
         assert float(np.abs(np.asarray(gk[3])).max()) == 0.0
 
 
+def test_transpose_boundary_flags_match_explicit_transposes():
+    """transpose_in/out (VMEM-side layout change at the chain
+    boundaries) must equal the NHCW kernel wrapped in explicit
+    transposes — values AND the full VJP."""
+    x, wmat, bias, ab = _inputs(8)
+    x_nhwc = jnp.transpose(x, (0, 1, 3, 2))  # (N, H, W, CIN)
+
+    def flagged(x_, w_, b_, ab_):
+        y, s1, s2 = convchain.fused_conv_layer(
+            x_, w_, b_, ab_, relu_in=True, transpose_in=True, transpose_out=True
+        )
+        return jnp.sum(y * jnp.sin(y)) + jnp.sum(s1 * s2)
+
+    def explicit(x_, w_, b_, ab_):
+        y, s1, s2 = convchain.fused_conv_layer(
+            jnp.transpose(x_, (0, 1, 3, 2)), w_, b_, ab_, relu_in=True
+        )
+        y = jnp.transpose(y, (0, 1, 3, 2))
+        return jnp.sum(y * jnp.sin(y)) + jnp.sum(s1 * s2)
+
+    lf, gf = jax.value_and_grad(flagged, argnums=(0, 1, 2, 3))(x_nhwc, wmat, bias, ab)
+    le, ge = jax.value_and_grad(explicit, argnums=(0, 1, 2, 3))(x_nhwc, wmat, bias, ab)
+    np.testing.assert_allclose(float(lf), float(le), rtol=1e-6)
+    for name, a, b in zip(["dx", "dw", "dbias", "dab"], gf, ge):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        # f32-reordering class only: XLA fuses the external transposes
+        # differently, so bit-identity is not expected
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=1e-6 * scale, err_msg=name)
+
+
 def test_vjp_chain_two_layers_f32():
     """Two chained fused layers with BN-coefficient glue between them:
     grads through the full chain (incl. stat cotangents feeding layer 0)
