@@ -77,9 +77,11 @@ def eligible(n, h, w, cin, cout, dtype, *, train, backend=None) -> bool:
         backend = backend or jax.default_backend()
         if backend != "tpu" or dtype != jnp.bfloat16:
             return False
-    if w % 128 or cin % 8 or cout % 8:
+    if w % 128 or cout % 8:
         return False
-    return _footprint(h, w, cin, cout, 2, train) <= VMEM_BUDGET
+    if cin % 8 and cin >= 8:
+        return False  # cin < 8 rides zero-padded to a full sublane tile
+    return _footprint(h, w, max(cin, 8), cout, 2, train) <= VMEM_BUDGET
 
 
 def _shift_stack(hp, w):
@@ -122,6 +124,9 @@ def _layer_kernel(x_ref, wmat_ref, bias_ref, *rest, relu_in, tin, tout):
     if tin:  # NHWC block: transpose to (H, cin, W) in VMEM (no HBM pass)
         x = jnp.swapaxes(x, 1, 2)
     hx = _prologue(x, ab_ref, cin) if relu_in else x
+    if cin < 8:  # zero-pad to a full sublane tile (wmat is pre-padded)
+        hx = jnp.concatenate([hx, jnp.zeros((h_img, 8 - cin, w), hx.dtype)], axis=1)
+        cin = 8
     zero = jnp.zeros((1, cin, w), hx.dtype)
     hp = jnp.concatenate([zero, hx, zero], axis=0)  # (H+2, cin, W)
     stack = _shift_stack(hp, w)  # (H+2, 3cin, W)
@@ -166,7 +171,7 @@ def _pallas_layer(x, wmat, bias, ab, *, relu_in, interpret, tin=False, tout=Fals
     cout = wmat.shape[0]
     specs = [
         pl.BlockSpec((1, *x.shape[1:]), lambda i: (i, 0, 0, 0)),
-        pl.BlockSpec((cout, 9 * cin), lambda i: (0, 0)),
+        pl.BlockSpec((cout, 9 * max(cin, 8)), lambda i: (0, 0)),
         pl.BlockSpec((cout,), lambda i: (0,)),
     ]
     args = [x, wmat, bias]
@@ -210,6 +215,7 @@ def _layer_bwd_kernel(x_ref, wmat_ref, y_ref, gy_ref, gs_ref, *rest, relu_in, ti
     x = x_ref[0]
     if tin:
         x = jnp.swapaxes(x, 1, 2)  # NHWC residual -> (H, cin, W) in VMEM
+    cin_true = cin
     # recompute the prologue (z for the ReLU mask, hx for the dW operand)
     if relu_in:
         a = ab_ref[0].reshape(cin, 1)
@@ -218,6 +224,9 @@ def _layer_bwd_kernel(x_ref, wmat_ref, y_ref, gy_ref, gs_ref, *rest, relu_in, ti
         hx = jnp.maximum(z, 0.0).astype(x.dtype)
     else:
         hx = x
+    if cin < 8:  # zero-pad to a full sublane tile (matches the fwd pass)
+        hx = jnp.concatenate([hx, jnp.zeros((h_img, 8 - cin, w), hx.dtype)], axis=1)
+        cin = 8
     zero = jnp.zeros((1, cin, w), hx.dtype)
     hp = jnp.concatenate([zero, hx, zero], axis=0)  # (H+2, cin, W)
     stack = _shift_stack(hp, w)  # (H+2, 3cin, W)
@@ -282,12 +291,14 @@ def _layer_bwd_kernel(x_ref, wmat_ref, y_ref, gy_ref, gs_ref, *rest, relu_in, ti
         + jnp.concatenate([zc, b2[..., : w - 1]], axis=-1)
     )  # (H, cin, W) f32 — pad rows of hp carry no cotangent (they are constants)
 
+    if cin_true < cin:  # drop the zero-pad channels' cotangent
+        d_hx = jax.lax.slice_in_dim(d_hx, 0, cin_true, axis=1)
     if relu_in:
         mask = (z > 0).astype(jnp.float32)
         d_z = d_hx * mask
         dab_ref[0] += jnp.sum(d_z * x.astype(jnp.float32), axis=(0, 2))
         dab_ref[1] += jnp.sum(d_z, axis=(0, 2))
-        dx = d_z * ab_ref[0].reshape(cin, 1)
+        dx = d_z * ab_ref[0].reshape(cin_true, 1)
     else:
         dx = d_hx
     dx = dx.astype(dx_ref.dtype)
@@ -306,14 +317,15 @@ def _pallas_layer_bwd(x, wmat, y, gy, gs, ab, *, relu_in, interpret, tin=False, 
     ]
     args = [x, wmat, y, gy, gs]
     cin = x.shape[3] if tin else x.shape[2]
+    cin_k = max(cin, 8)
     out_specs = [
         pl.BlockSpec((1, *x.shape[1:]), lambda i: (i, 0, 0, 0)),
-        pl.BlockSpec((cout, 9 * cin), lambda i: (0, 0)),
+        pl.BlockSpec((cout, 9 * cin_k), lambda i: (0, 0)),
         pl.BlockSpec((cout,), lambda i: (0,)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct(x.shape, x.dtype),
-        jax.ShapeDtypeStruct((cout, 9 * cin), jnp.float32),
+        jax.ShapeDtypeStruct((cout, 9 * cin_k), jnp.float32),
         jax.ShapeDtypeStruct((cout,), jnp.float32),
     ]
     if relu_in:
@@ -339,11 +351,21 @@ def kernel_matrix(kernel):
     return jnp.transpose(kernel, (3, 0, 1, 2)).reshape(cout, kh * kw * cin)
 
 
+def _pad_wmat(wmat, cin):
+    """(cout, 9*cin) -> (cout, 9*8) with zero columns for the sublane-pad
+    channels, preserving the (ky, kx, cin) column order."""
+    cout = wmat.shape[0]
+    w3 = wmat.reshape(cout, 9, cin)
+    return jnp.pad(w3, ((0, 0), (0, 0), (0, 8 - cin))).reshape(cout, 72)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _fused_layer(x, wmat, bias, ab, relu_in, tin, tout):
+    cin = x.shape[3] if tin else x.shape[2]
+    wm = _pad_wmat(wmat, cin) if cin < 8 else wmat
     y, s1, s2 = _pallas_layer(
         x,
-        wmat.astype(x.dtype),
+        wm.astype(x.dtype),
         bias.astype(x.dtype),
         ab,
         relu_in=relu_in,
@@ -362,10 +384,12 @@ def _fused_layer_fwd(x, wmat, bias, ab, relu_in, tin, tout):
 def _fused_layer_bwd(relu_in, tin, tout, res, cts):
     x, wmat, ab, y = res
     gy, gs1, gs2 = cts
+    cin = x.shape[3] if tin else x.shape[2]
+    wm = _pad_wmat(wmat, cin) if cin < 8 else wmat
     gs = jnp.stack([gs1, gs2]).astype(jnp.float32)
     outs = _pallas_layer_bwd(
         x,
-        wmat.astype(x.dtype),
+        wm.astype(x.dtype),
         y,
         gy.astype(x.dtype),
         gs,
@@ -380,6 +404,9 @@ def _fused_layer_bwd(relu_in, tin, tout, res, cts):
     else:
         dx, dw, dbias = outs
         dab = jnp.zeros_like(ab)
+    if cin < 8:  # drop the zero-pad channels' dW columns
+        cout = dw.shape[0]
+        dw = dw.reshape(cout, 9, 8)[:, :, :cin].reshape(cout, 9 * cin)
     return dx, dw.astype(wmat.dtype), dbias.astype(jnp.float32), dab.astype(ab.dtype)
 
 

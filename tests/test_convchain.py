@@ -228,7 +228,9 @@ class TestResBlockIntegration:
         finally:
             mod.MODE = old
 
-    @pytest.mark.parametrize("cin", [16, 4])  # 4 -> layer 0 ineligible (prefix path)
+    # 12 -> layer 0 ineligible (XLA prefix path); 4 -> chain takes it via
+    # the sublane zero-pad entry, nhwc leaves it to the prefix
+    @pytest.mark.parametrize("cin", [16, 4, 12])
     def test_forward_and_stats_match(self, cin):
         block = self._block(cin)
         x = self._x(cin)
@@ -254,7 +256,7 @@ class TestResBlockIntegration:
         y_r, _ = self._run(block, x, "off", train=False)
         np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r), atol=2e-4)
 
-    @pytest.mark.parametrize("cin", [16, 4])
+    @pytest.mark.parametrize("cin", [16, 4, 12])
     def test_grads_match(self, cin):
         from flax import nnx
 
