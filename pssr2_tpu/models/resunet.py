@@ -14,6 +14,7 @@ with ``dilations`` it becomes the Atrous Residual UNet (Diakogiannis et al.,
 import jax.numpy as jnp
 from flax import nnx
 
+from ..ops.pooling import max_pool_2x2
 from ..ops.shuffle import pixel_shuffle
 from .blocks import PSPPooling, Reconstruction, batch_norm, force_list, get_resblock, resolve_dtype
 
@@ -185,7 +186,7 @@ class ResUNet(nnx.Module):
             skips.append((xf, True))
             hf = self.encoder[0].folded_call(xf)
             skips.append((hf, True))
-            x = _unfold2(nnx.max_pool(hf, window_shape=(2, 2), strides=(2, 2)))
+            x = _unfold2(max_pool_2x2(hf))
             enc_rest = list(self.encoder)[1:]
         else:
             if self.norm is not None:
@@ -197,7 +198,7 @@ class ResUNet(nnx.Module):
             x = layer(x)
             if idx + 1 < len(enc_rest):
                 skips.append((x, False))
-                x = nnx.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+                x = max_pool_2x2(x)
 
         if self.encoder_pool is not None:
             x = self.encoder_pool(x)
