@@ -243,6 +243,25 @@ class SwinTransformerBlock(nnx.Module):
             a._bias(self.window_size * self.window_size),
         )
 
+    def _chain_realign(self, x_img, v_in):
+        """(x_img', delta) for the roll-space chain step from offset
+        ``v_in`` to this block's shift.  The kernel's ``delta`` is the
+        mod-window residue, but roll arithmetic is mod the IMAGE size:
+        the multiple-of-ws remainder (p = delta - (s - v_in), i.e. +ws
+        exactly when an un-shift follows a shift) must be applied as an
+        explicit roll.  Window attention is roll-by-ws equivariant, so
+        dropping p leaves every later block in the group displaced by ws
+        in roll space while the forward only drifts through the (small)
+        relative-position-bias association and the RSTB residual
+        misalignment — the r4 convergence gate caught it as a systematic
+        -0.12 dB training endpoint cost (results_r4.md)."""
+        s = self.shift_size
+        delta = (s - v_in) % self.window_size
+        p = delta - (s - v_in)
+        if p:
+            x_img = jnp.roll(x_img, (p, p), axis=(1, 2))
+        return x_img, delta
+
     def forward_rolled(self, x_img, v_in):
         """Whole-block fused path (ops/pallas/swinblock): input (B, H, W, C)
         at roll offset ``v_in``, output at this block's shift offset —
@@ -252,13 +271,14 @@ class SwinTransformerBlock(nnx.Module):
         from ..ops.pallas import swinblock
 
         s = self.shift_size
+        x_img, delta = self._chain_realign(x_img, v_in)
         out = swinblock.fused_swin_block(
             x_img,
             self._fused_params(),
             heads=self.num_heads,
             scale=self.attn.scale,
             ws=self.window_size,
-            delta=(s - v_in) % self.window_size,
+            delta=delta,
             shift=s,
             mask_hw=(x_img.shape[1], x_img.shape[2]) if s else None,
             eps=self.norm1.epsilon,
@@ -273,6 +293,7 @@ class SwinTransformerBlock(nnx.Module):
         from ..ops.pallas import swinblock
 
         s = self.shift_size
+        x_img, delta = self._chain_realign(x_img, v_in)
         out = swinblock.fused_swin_block_train(
             x_img,
             self._fused_params(),
@@ -281,7 +302,7 @@ class SwinTransformerBlock(nnx.Module):
             heads=self.num_heads,
             scale=self.attn.scale,
             ws=self.window_size,
-            delta=(s - v_in) % self.window_size,
+            delta=delta,
             shift=s,
             mask_hw=(x_img.shape[1], x_img.shape[2]) if s else None,
             eps=self.norm1.epsilon,

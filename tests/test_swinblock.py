@@ -347,3 +347,47 @@ def test_reshape_heads_bit_identical():
         swinblock.RESHAPE_HEADS = old
     np.testing.assert_array_equal(y0, y1)
     np.testing.assert_array_equal(g0, g1)
+
+
+def test_rolled_chain_realign_fwd_and_grads_deep_group():
+    """Regression for the r4 roll-space chain bug: with >=3 blocks per
+    group, the 3rd block (shift 0 after shift ws/2) needs a +ws realign
+    roll — the mod-ws delta alone leaves the rest of the group displaced
+    by ws in roll space.  Window attention is roll-by-ws equivariant, so
+    small-bias forwards agree almost exactly and only the
+    relative-position-bias association + RSTB residual misalignment leak
+    — the 3-seed convergence gate measured it as a systematic -0.12 dB
+    endpoint cost.  Detector: LARGE bias tables + fwd equality + table
+    GRADS (the most sensitive leaves) on a depth-4 group."""
+    from flax import nnx
+
+    model = SwinIR(image_size=32, depths=[4], num_heads=[6], drop_path_rate=0.0)
+    model.train()
+    rng = np.random.default_rng(5)
+    for blk in model.layers[0].residual_group.blocks:
+        t = blk.attn.relative_position_bias_table
+        t.value = jnp.asarray(rng.normal(0, 0.5, t.value.shape), jnp.float32)
+    x = jnp.asarray(rng.integers(0, 255, (1, 1, 32, 32)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, 255, (1, 1, 128, 128)), jnp.float32)
+
+    def loss_fn(m):
+        return jnp.mean((m(x) - tgt) ** 2)
+
+    old = swinblock.MODE
+    try:
+        swinblock.MODE = "off"
+        l_off = float(loss_fn(model))
+        g_off = nnx.grad(loss_fn)(model)
+        swinblock.MODE = "interpret"
+        l_on = float(loss_fn(model))
+        g_on = nnx.grad(loss_fn)(model)
+    finally:
+        swinblock.MODE = old
+    assert abs(l_on - l_off) <= 1e-4 * max(1.0, abs(l_off))
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_on),
+        jax.tree_util.tree_leaves_with_path(g_off),
+    ):
+        a, e = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rel = np.sqrt(np.mean((a - e) ** 2)) / (np.sqrt(np.mean(e**2)) + 1e-30)
+        assert rel < 5e-3, (str(p1), rel)
