@@ -163,13 +163,23 @@ def main():
     # rows) — so one seed cannot certify a 0.05 dB budget.  The mean over
     # seeds cancels the reordering noise; a SYSTEMATIC kernel-math
     # divergence (the bf16-loss NaN precedent) survives averaging.
+    # GATE_REUSE_UNFUSED=1: load the unfused (MODE="off") legs from
+    # quality_fused_{family}_unfused_legs.json instead of re-running them.
+    # Valid ONLY when every code change since those legs ran is fused-path
+    # -only (e.g. the r4 roll-space fix, commit 25e0310, touches
+    # forward_rolled/_train exclusively — the XLA-autodiff twin's graph is
+    # bit-identical).  Saves ~17 min/seed of tunnel time on re-gates.
+    reused = None
+    if os.environ.get("GATE_REUSE_UNFUSED") == "1":
+        with open(os.path.join(HERE, f"quality_fused_{family}_unfused_legs.json")) as f:
+            reused = {int(k): v for k, v in json.load(f)["legs"].items()}
     runs = []
     for seed in seeds:
         fused = run(family, "auto", epochs, seed)
         print(json.dumps(fused), flush=True)
         if os.environ.get("GATE_FUSED_ONLY") == "1":
             continue  # diagnostic: compare against stored unfused legs
-        unfused = run(family, "off", epochs, seed)
+        unfused = reused[seed] if reused is not None else run(family, "off", epochs, seed)
         print(json.dumps(unfused), flush=True)
         runs.append(
             {
@@ -193,6 +203,11 @@ def main():
         "max_abs_delta_db": round(float(np.max(np.abs(deltas))), 4),
         "budget_db": BUDGET_DB,
     }
+    if reused is not None:
+        out["unfused_legs_reused"] = (
+            "unfused legs from the pre-fix 3-seed run (quality_fused_swinir.log); "
+            "valid because commit 25e0310 changes the fused path only"
+        )
     print(json.dumps(out), flush=True)
     with open(os.path.join(HERE, f"quality_fused_{family}.json"), "w") as f:
         json.dump(out, f, indent=1)
