@@ -271,7 +271,10 @@ class ResBlock(nnx.Module):
                 h = nnx.relu(h)  # norm-free prefix layer: plain ReLU
 
         ht = h
+        vt = impl != "chain" or convchain.VMEM_TRANSPOSE
         if impl == "chain":
+            if not vt:
+                ht = jnp.transpose(h, (0, 1, 3, 2))  # NHWC -> NHCW in HBM
             layer_fn, to_mat = convchain.fused_conv_layer, convchain.kernel_matrix
         else:
             layer_fn, to_mat = convnhwc.fused_conv_layer_nhwc, convnhwc.kernel_taps
@@ -287,18 +290,25 @@ class ResBlock(nnx.Module):
             if impl == "chain":
                 # NHWC at the chain boundaries, transposed in VMEM inside
                 # the first/last pass (an HBM transpose costs ~0.5 ms/way)
-                kwargs = {"transpose_in": idx == k, "transpose_out": idx == last}
+                kwargs = {"transpose_in": vt and idx == k, "transpose_out": vt and idx == last}
             ht, s1, s2 = layer_fn(ht, wmat, bias, ab_arg, relu_in=ab_arg is not None, **kwargs)
             if norm is not None:
                 ab = norm.apply_coeffs(s1, s2, count)
             else:
-                cout = ht.shape[2] if impl == "chain" and idx != last else ht.shape[3]
+                nhwc_out = impl != "chain" or (vt and idx == last)
+                cout = ht.shape[3] if nhwc_out else ht.shape[2]
                 ab = (jnp.ones((cout,), jnp.float32), jnp.zeros((cout,), jnp.float32))
 
-        # last layer's BN apply (no ReLU) on the NHWC output, residual pass
+        # last layer's BN apply (no ReLU), residual pass (chain output is
+        # NHCW when the VMEM out-transpose is disabled)
         a, b = ab
-        hf = ht.astype(jnp.float32) * a.reshape(1, 1, 1, -1) + b.reshape(1, 1, 1, -1)
+        cdim = 2 if impl == "chain" and not vt else 3
+        shape = [1, 1, 1, 1]
+        shape[cdim] = -1
+        hf = ht.astype(jnp.float32) * a.reshape(shape) + b.reshape(shape)
         h = hf.astype(ht.dtype)
+        if impl == "chain" and not vt:
+            h = jnp.transpose(h, (0, 1, 3, 2))
         return nnx.relu(h + self.respass(x))
 
     def folded_call(self, x):

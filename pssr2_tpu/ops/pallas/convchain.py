@@ -47,6 +47,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 # "auto" (kernel on TPU for eligible shapes), "off", "interpret" (CPU tests)
 MODE = "auto"
+# Probe50 isolation flags (read at trace time; defaults = shipping state):
+# PAD_ENTRY: accept cin<8 layers by zero-padding to a sublane tile (bbfb629);
+# VMEM_TRANSPOSE: do the NHWC<->NHCW chain-boundary transposes inside the
+# first/last pass instead of as XLA HBM transposes (0e8f0d2).
+PAD_ENTRY = True
+VMEM_TRANSPOSE = True
 # Per-call VMEM budget (bytes): x + shifted stack (3x) + y + f32 temps.
 VMEM_BUDGET = 100 * 1024 * 1024
 _COMPILER_PARAMS = pltpu.CompilerParams(
@@ -79,7 +85,7 @@ def eligible(n, h, w, cin, cout, dtype, *, train, backend=None) -> bool:
             return False
     if w % 128 or cout % 8:
         return False
-    if cin % 8 and cin >= 8:
+    if cin % 8 and (cin >= 8 or not PAD_ENTRY):
         return False  # cin < 8 rides zero-padded to a full sublane tile
     return _footprint(h, w, max(cin, 8), cout, 2, train) <= VMEM_BUDGET
 

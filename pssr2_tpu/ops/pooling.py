@@ -17,13 +17,17 @@ Reference semantics: torch MaxPool2d(2) (pssr/models/resunet.py:76).
 import jax.numpy as jnp
 from flax import nnx
 
+# Probe50 isolation flag (trace-time): False = reduce_window/
+# select_and_scatter via nnx.max_pool (the pre-7f724ea form).
+RESHAPE_MAX = True
+
 
 def max_pool_2x2(x):
     """Channels-last (N, H, W, C) -> (N, H/2, W/2, C), max over each
     non-overlapping 2x2 window.  Falls back to ``nnx.max_pool`` for odd
     spatial sizes (reference pads nothing either — torch floors)."""
     n, h, w, c = x.shape
-    if h % 2 or w % 2:
+    if not RESHAPE_MAX or h % 2 or w % 2:
         return nnx.max_pool(x, window_shape=(2, 2), strides=(2, 2))
     x = x.reshape(n, h // 2, 2, w // 2, 2, c)
     return jnp.max(x, axis=(2, 4))

@@ -302,6 +302,50 @@ class TestResBlockIntegration:
         y_r, _ = self._run(block, x, "off")
         np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r), atol=2e-4)
 
+    def test_hbm_transpose_variant_matches(self):
+        """VMEM_TRANSPOSE=False (probe50 isolation flag): the explicit
+        XLA HBM-transpose chain boundaries give the same outputs/stats."""
+        if self.impl != "chain":
+            pytest.skip("chain-boundary flag only")
+        block = self._block(16)
+        x = self._x(16)
+        y_r, st_r = self._run(block, x, "off")
+        old = convchain.VMEM_TRANSPOSE
+        convchain.VMEM_TRANSPOSE = False
+        try:
+            y_f, st_f = self._run(block, x, "interpret")
+        finally:
+            convchain.VMEM_TRANSPOSE = old
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r), atol=2e-4)
+        flat_f = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(st_f)}
+        flat_r = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(st_r)}
+        for k in flat_f:
+            np.testing.assert_allclose(
+                np.asarray(flat_f[k]), np.asarray(flat_r[k]), atol=1e-4, err_msg=k
+            )
+
+    def test_pad_entry_disabled_splits_later_and_matches(self):
+        """PAD_ENTRY=False (probe50 isolation flag): the cin<8 entry layer
+        drops back to the XLA prefix; the chain still takes the suffix."""
+        if self.impl != "chain":
+            pytest.skip("chain entry-pad flag only")
+        block = self._block(4)
+        x = self._x(4)
+        y_r, _ = self._run(block, x, "off")
+        old = convchain.PAD_ENTRY
+        convchain.PAD_ENTRY = False
+        try:
+            old_mode = convchain.MODE
+            convchain.MODE = "interpret"
+            try:
+                assert block._convchain_split(x) == (1, "chain")
+            finally:
+                convchain.MODE = old_mode
+            y_f, _ = self._run(block, x, "interpret")
+        finally:
+            convchain.PAD_ENTRY = old
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r), atol=2e-4)
+
 
 class TestResBlockIntegrationNHWC(TestResBlockIntegration):
     """Same suite through the deep-stage NHWC tap-dot kernel
