@@ -190,6 +190,11 @@ def main():
             }
         )
         print(json.dumps(runs[-1]), flush=True)
+        # per-seed checkpoint: a killed run (round boundary, tunnel drop)
+        # keeps its completed legs; merge_gate_partials.py can finish the
+        # artifact from these + a disjoint-seed rerun
+        with open(os.path.join(HERE, f"quality_fused_{family}_partial.json"), "w") as f:
+            json.dump({"family": family, "epochs": epochs, "runs": runs}, f, indent=1)
     if os.environ.get("GATE_FUSED_ONLY") == "1":
         return
     deltas = [r["delta_db"] for r in runs]
