@@ -48,12 +48,15 @@ def main():
         "merged_from": [os.path.basename(p) for p in sys.argv[2:]],
     }
     print(json.dumps(out, indent=1), flush=True)
-    with open(os.path.join(HERE, f"quality_fused_{family}.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    # validate BEFORE writing (advisor r4): a 1-seed or budget-violating
+    # merge must not leave a final-looking quality_fused_{family}.json
+    assert len(runs) >= 3, f"only {len(runs)} seeds merged; the gate needs >= 3"
     assert abs(out["mean_delta_db"]) <= BUDGET_DB, (
         f"mean endpoint PSNR delta {out['mean_delta_db']} dB exceeds the "
         f"{BUDGET_DB} dB budget"
     )
+    with open(os.path.join(HERE, f"quality_fused_{family}.json"), "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -169,10 +169,20 @@ def main():
     # -only (e.g. the r4 roll-space fix, commit 25e0310, touches
     # forward_rolled/_train exclusively — the XLA-autodiff twin's graph is
     # bit-identical).  Saves ~17 min/seed of tunnel time on re-gates.
-    reused = None
+    reused = reused_provenance = None
     if os.environ.get("GATE_REUSE_UNFUSED") == "1":
         with open(os.path.join(HERE, f"quality_fused_{family}_unfused_legs.json")) as f:
-            reused = {int(k): v for k, v in json.load(f)["legs"].items()}
+            legs_file = json.load(f)
+        # the stored legs are only comparable if they ran the same
+        # protocol (advisor r4: a DEMO_EPOCHS/family/recipe mismatch would
+        # silently produce a plausible-looking artifact)
+        assert legs_file["family"] == family, (legs_file["family"], family)
+        assert legs_file["epochs"] == epochs, (legs_file["epochs"], epochs)
+        assert legs_file["lr"] == {"swinir": 2e-4, "rdres": 3e-4}[family], legs_file["lr"]
+        reused = {int(k): v for k, v in legs_file["legs"].items()}
+        reused_provenance = legs_file["provenance"]
+        missing = set(seeds) - set(reused)
+        assert not missing, f"unfused legs missing for seeds {sorted(missing)}"
     runs = []
     for seed in seeds:
         fused = run(family, "auto", epochs, seed)
@@ -209,10 +219,7 @@ def main():
         "budget_db": BUDGET_DB,
     }
     if reused is not None:
-        out["unfused_legs_reused"] = (
-            "unfused legs from the pre-fix 3-seed run (quality_fused_swinir.log); "
-            "valid because commit 25e0310 changes the fused path only"
-        )
+        out["unfused_legs_reused"] = reused_provenance
     print(json.dumps(out), flush=True)
     with open(os.path.join(HERE, f"quality_fused_{family}.json"), "w") as f:
         json.dump(out, f, indent=1)

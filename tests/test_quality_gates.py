@@ -17,10 +17,21 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 EXP = os.path.join(os.path.dirname(HERE), "experiments")
 
 
-def _load(name):
+def _load(name, required=False):
+    """Load a gate artifact.  ``required=True`` marks paths that are ON by
+    default in shipping trainers — a missing artifact there is a FAILURE,
+    not a skip (VERDICT r4 #3: a fresh checkout must go red if a
+    shipping-path gate is absent, the exact vacuity the r4 SwinIR bug
+    exposed).  Keep skip only for genuinely optional paths (int8 is
+    opt-in via -q8)."""
     path = os.path.join(EXP, name)
     if not os.path.exists(path):
-        pytest.skip(f"{name} not generated yet (hardware gate)")
+        if required:
+            pytest.fail(
+                f"{name} is missing but gates a default-ON fused path; "
+                f"run experiments/quality_fused.py and commit the artifact"
+            )
+        pytest.skip(f"{name} not generated yet (optional hardware gate)")
     with open(path) as f:
         return json.load(f)
 
@@ -46,7 +57,7 @@ def test_fused_vjp_convergence_gate(family):
     (identical-math twins spread 0.01-0.11 dB/seed —
     experiments/train_parity.md); a systematic kernel divergence (the
     bf16-loss NaN precedent) survives averaging."""
-    out = _load(f"quality_fused_{family}.json")
+    out = _load(f"quality_fused_{family}.json", required=True)
     assert out["epochs"] >= 200, out
     assert len(out["runs"]) >= 3, out
     assert abs(out["mean_delta_db"]) <= out["budget_db"], out
