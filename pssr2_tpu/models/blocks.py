@@ -271,9 +271,19 @@ class ResBlock(nnx.Module):
                 h = nnx.relu(h)  # norm-free prefix layer: plain ReLU
 
         ht = h
-        vt = impl != "chain" or convchain.VMEM_TRANSPOSE
+        p = convchain.pack_factor(hh, ww) if impl == "chain" else 1
+        vt = impl != "chain" or (convchain.VMEM_TRANSPOSE and p == 1)
         if impl == "chain":
-            if not vt:
+            if p > 1:
+                # W<128 stage: pack p consecutive image rows side by side
+                # on the lanes, NHWC -> (N, H/p, C, p*W) (convchain.PACK)
+                cc = h.shape[3]
+                ht = (
+                    h.reshape(n, hh // p, p, ww, cc)
+                    .transpose(0, 1, 4, 2, 3)
+                    .reshape(n, hh // p, cc, p * ww)
+                )
+            elif not vt:
                 ht = jnp.transpose(h, (0, 1, 3, 2))  # NHWC -> NHCW in HBM
             layer_fn, to_mat = convchain.fused_conv_layer, convchain.kernel_matrix
         else:
@@ -290,7 +300,11 @@ class ResBlock(nnx.Module):
             if impl == "chain":
                 # NHWC at the chain boundaries, transposed in VMEM inside
                 # the first/last pass (an HBM transpose costs ~0.5 ms/way)
-                kwargs = {"transpose_in": vt and idx == k, "transpose_out": vt and idx == last}
+                kwargs = {
+                    "transpose_in": vt and idx == k,
+                    "transpose_out": vt and idx == last,
+                    "pack": p,
+                }
             ht, s1, s2 = layer_fn(ht, wmat, bias, ab_arg, relu_in=ab_arg is not None, **kwargs)
             if norm is not None:
                 ab = norm.apply_coeffs(s1, s2, count)
@@ -300,14 +314,21 @@ class ResBlock(nnx.Module):
                 ab = (jnp.ones((cout,), jnp.float32), jnp.zeros((cout,), jnp.float32))
 
         # last layer's BN apply (no ReLU), residual pass (chain output is
-        # NHCW when the VMEM out-transpose is disabled)
+        # NHCW/packed when the VMEM out-transpose is disabled)
         a, b = ab
         cdim = 2 if impl == "chain" and not vt else 3
         shape = [1, 1, 1, 1]
         shape[cdim] = -1
         hf = ht.astype(jnp.float32) * a.reshape(shape) + b.reshape(shape)
         h = hf.astype(ht.dtype)
-        if impl == "chain" and not vt:
+        if impl == "chain" and p > 1:
+            cout = h.shape[2]
+            h = (
+                h.reshape(n, hh // p, cout, p, ww)
+                .transpose(0, 1, 3, 4, 2)
+                .reshape(n, hh, ww, cout)
+            )
+        elif impl == "chain" and not vt:
             h = jnp.transpose(h, (0, 1, 3, 2))
         return nnx.relu(h + self.respass(x))
 

@@ -48,11 +48,24 @@ from jax.experimental.pallas import tpu as pltpu
 # "auto" (kernel on TPU for eligible shapes), "off", "interpret" (CPU tests)
 MODE = "auto"
 # Probe50 isolation flags (read at trace time; defaults = shipping state):
-# PAD_ENTRY: accept cin<8 layers by zero-padding to a sublane tile (bbfb629);
+# PAD_ENTRY: accept cin<8 layers by zero-padding to a sublane tile (bbfb629;
+# probe50: -0.11 ms composed, stays ON).
 # VMEM_TRANSPOSE: do the NHWC<->NHCW chain-boundary transposes inside the
-# first/last pass instead of as XLA HBM transposes (0e8f0d2).
+# first/last pass instead of as XLA HBM transposes (0e8f0d2).  Probe50
+# REFUTED it composed: +2.45 ms on the canonical step (ship 43.84 vs
+# explicit-HBM 41.39 ms) — the in-kernel swapaxes on the (H, W, C) block
+# serializes against the dot pipeline, while the XLA transpose pair
+# overlaps with neighbors.  Default OFF; kept as the documented negative
+# result (experiments/mxu_probe50.json).
 PAD_ENTRY = True
-VMEM_TRANSPOSE = True
+VMEM_TRANSPOSE = False
+# PACK: run W<128 stages with P = 128/W image rows side by side on the
+# lanes ((N, H/P, C, P*W) activations), so the deep C>=128 stages fill
+# all 128 output lanes too.  ky taps become one slice+concat row shift
+# per direction (lane groups carry across packed-row boundaries); kx
+# shifts mask the P-1 interior seams.  Round-5 extension; flag for
+# composed A/B isolation (probe51).
+PACK = True
 # Per-call VMEM budget (bytes): x + shifted stack (3x) + y + f32 temps.
 VMEM_BUDGET = 100 * 1024 * 1024
 _COMPILER_PARAMS = pltpu.CompilerParams(
@@ -73,8 +86,21 @@ def _footprint(h, w, cin, cout, itemsize, train):
     return x + stack + wb + acc + y
 
 
+def pack_factor(h, w) -> int:
+    """Rows packed per 128-lane row for a (H, W) stage: 1 for W%128==0
+    stages, 128/W when W divides 128 and H is a multiple of the factor
+    (PACK extension); 0 = shape not packable."""
+    if w >= 128:
+        return 1 if w % 128 == 0 else 0
+    if 128 % w:
+        return 0
+    p = 128 // w
+    return p if h % p == 0 else 0
+
+
 def eligible(n, h, w, cin, cout, dtype, *, train, backend=None) -> bool:
-    """TPU + bf16 compute, lane-exact width, sublane-tile channels."""
+    """TPU + bf16 compute, lane-exact width (or lane-packable rows),
+    sublane-tile channels."""
     from .guard import kernels_allowed
 
     if MODE == "off" or not kernels_allowed():
@@ -83,11 +109,12 @@ def eligible(n, h, w, cin, cout, dtype, *, train, backend=None) -> bool:
         backend = backend or jax.default_backend()
         if backend != "tpu" or dtype != jnp.bfloat16:
             return False
-    if w % 128 or cout % 8:
+    p = pack_factor(h, w)
+    if p == 0 or (p > 1 and not PACK) or cout % 8:
         return False
     if cin % 8 and (cin >= 8 or not PAD_ENTRY):
         return False  # cin < 8 rides zero-padded to a full sublane tile
-    return _footprint(h, w, max(cin, 8), cout, 2, train) <= VMEM_BUDGET
+    return _footprint(h // p, w * p, max(cin, 8), cout, 2, train) <= VMEM_BUDGET
 
 
 def _shift_stack(hp, w):
@@ -106,6 +133,36 @@ def _shift_stack(hp, w):
     return jnp.concatenate([shift(-1), hp, shift(1)], axis=1)
 
 
+def _row_taps(hx, w_img):
+    """Packed ky taps: (Hp, C, L) with P = L/w_img image rows per packed
+    row (lane group j = image row pr*P + j) -> the three conv row taps
+    (row-1, row, row+1), each (Hp, C, L).  Shifting the image by one row
+    in packed space = shifting lanes by w_img with the wrapped lane group
+    carried to/from the adjacent packed row (zeros past the image edge)."""
+    hp_rows, _, lanes = hx.shape
+    zrow = jnp.zeros((1,) + hx.shape[1:], hx.dtype)
+    prev = jnp.concatenate([zrow, hx[:-1]], axis=0)  # packed row pr-1
+    nxt = jnp.concatenate([hx[1:], zrow], axis=0)  # packed row pr+1
+    up = jnp.concatenate([prev[..., lanes - w_img :], hx[..., : lanes - w_img]], axis=-1)
+    down = jnp.concatenate([hx[..., w_img:], nxt[..., :w_img]], axis=-1)
+    return up, hx, down
+
+
+def _dx_stack_packed(t, w_img):
+    """(R, C, L) tap -> (R, 3C, L) dx-shifted stack, kx order matching
+    `_shift_stack`; the P-1 interior lane seams (image-width boundaries
+    inside the packed row) are zero-masked like the outer edges."""
+    lanes = t.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes), 2) % w_img
+    zcol = jnp.zeros(t.shape[:-1] + (1,), t.dtype)
+    zero = jnp.zeros_like(t)
+    left = jnp.concatenate([zcol, t[..., : lanes - 1]], axis=-1)  # in col w-1
+    left = jnp.where(lane == 0, zero, left)
+    right = jnp.concatenate([t[..., 1:], zcol], axis=-1)  # in col w+1
+    right = jnp.where(lane == w_img - 1, zero, right)
+    return jnp.concatenate([left, t, right], axis=1)
+
+
 def _prologue(x, ab_ref, cin):
     """Previous layer's BN apply + ReLU as a per-channel f32 affine
     rounded once to the compute dtype (bn_train apply semantics: the
@@ -118,7 +175,7 @@ def _prologue(x, ab_ref, cin):
     return jnp.maximum(z, 0.0).astype(x.dtype)
 
 
-def _layer_kernel(x_ref, wmat_ref, bias_ref, *rest, relu_in, tin, tout):
+def _layer_kernel(x_ref, wmat_ref, bias_ref, *rest, relu_in, tin, tout, pack):
     ab_ref = rest[0] if relu_in else None
     y_ref, s1_ref, s2_ref = rest[-3:]
     cin = x_ref.shape[3] if tin else x_ref.shape[2]
@@ -133,9 +190,12 @@ def _layer_kernel(x_ref, wmat_ref, bias_ref, *rest, relu_in, tin, tout):
     if cin < 8:  # zero-pad to a full sublane tile (wmat is pre-padded)
         hx = jnp.concatenate([hx, jnp.zeros((h_img, 8 - cin, w), hx.dtype)], axis=1)
         cin = 8
-    zero = jnp.zeros((1, cin, w), hx.dtype)
-    hp = jnp.concatenate([zero, hx, zero], axis=0)  # (H+2, cin, W)
-    stack = _shift_stack(hp, w)  # (H+2, 3cin, W)
+    if pack > 1:
+        taps = _row_taps(hx, w // pack)  # 3 x (Hp, cin, L)
+    else:
+        zero = jnp.zeros((1, cin, w), hx.dtype)
+        hp = jnp.concatenate([zero, hx, zero], axis=0)  # (H+2, cin, W)
+        stack = _shift_stack(hp, w)  # (H+2, 3cin, W)
 
     wmat = wmat_ref[...]  # (cout, 9cin) compute dtype
     # match the XLA twin's rounding: conv rounds to the model dtype first,
@@ -149,7 +209,10 @@ def _layer_kernel(x_ref, wmat_ref, bias_ref, *rest, relu_in, tin, tout):
     # batched dot_general beats a per-row loop anyway — probe23).
     acc = jnp.zeros((h_img, cout, w), jnp.float32)
     for ky in range(3):
-        rows = jax.lax.slice_in_dim(stack, ky, ky + h_img, axis=0)  # (H, 3cin, W)
+        if pack > 1:
+            rows = _dx_stack_packed(taps[ky], w // pack)  # (Hp, 3cin, L)
+        else:
+            rows = jax.lax.slice_in_dim(stack, ky, ky + h_img, axis=0)  # (H, 3cin, W)
         wk = jax.lax.slice_in_dim(wmat, ky * 3 * cin, (ky + 1) * 3 * cin, axis=1)
         wb = jnp.broadcast_to(wk[None], (h_img, cout, 3 * cin))
         acc = acc + jax.lax.dot_general(
@@ -169,7 +232,7 @@ def _layer_kernel(x_ref, wmat_ref, bias_ref, *rest, relu_in, tin, tout):
     s2_ref[...] += jnp.sum(yf * yf, axis=(0, 2))
 
 
-def _pallas_layer(x, wmat, bias, ab, *, relu_in, interpret, tin=False, tout=False):
+def _pallas_layer(x, wmat, bias, ab, *, relu_in, interpret, tin=False, tout=False, pack=1):
     if tin:
         n, h, w, cin = x.shape
     else:
@@ -186,7 +249,7 @@ def _pallas_layer(x, wmat, bias, ab, *, relu_in, interpret, tin=False, tout=Fals
         args.append(ab)
     y_shape = (n, h, w, cout) if tout else (n, h, cout, w)
     return pl.pallas_call(
-        functools.partial(_layer_kernel, relu_in=relu_in, tin=tin, tout=tout),
+        functools.partial(_layer_kernel, relu_in=relu_in, tin=tin, tout=tout, pack=pack),
         grid=(n,),
         in_specs=specs,
         out_specs=[
@@ -204,7 +267,7 @@ def _pallas_layer(x, wmat, bias, ab, *, relu_in, interpret, tin=False, tout=Fals
     )(*args)
 
 
-def _layer_bwd_kernel(x_ref, wmat_ref, y_ref, gy_ref, gs_ref, *rest, relu_in, tin, tout):
+def _layer_bwd_kernel(x_ref, wmat_ref, y_ref, gy_ref, gs_ref, *rest, relu_in, tin, tout, pack):
     """Per-image VJP pass: stat-folded cotangent, dW/dbias/da/db grid
     accumulation, transposed-kernel conv for dx."""
     ab_ref = rest[0] if relu_in else None
@@ -233,9 +296,12 @@ def _layer_bwd_kernel(x_ref, wmat_ref, y_ref, gy_ref, gs_ref, *rest, relu_in, ti
     if cin < 8:  # zero-pad to a full sublane tile (matches the fwd pass)
         hx = jnp.concatenate([hx, jnp.zeros((h_img, 8 - cin, w), hx.dtype)], axis=1)
         cin = 8
-    zero = jnp.zeros((1, cin, w), hx.dtype)
-    hp = jnp.concatenate([zero, hx, zero], axis=0)  # (H+2, cin, W)
-    stack = _shift_stack(hp, w)  # (H+2, 3cin, W)
+    if pack > 1:
+        taps = _row_taps(hx, w // pack)
+    else:
+        zero = jnp.zeros((1, cin, w), hx.dtype)
+        hp = jnp.concatenate([zero, hx, zero], axis=0)  # (H+2, cin, W)
+        stack = _shift_stack(hp, w)  # (H+2, 3cin, W)
 
     # stat-folded cotangent, rounded exactly like the XLA twin: the
     # f32-cast's VJP casts (gs1 + 2*yf*gs2) back to the model dtype, THEN
@@ -264,19 +330,30 @@ def _layer_bwd_kernel(x_ref, wmat_ref, y_ref, gy_ref, gs_ref, *rest, relu_in, ti
 
     # dW_ky = sum_h g[h] @ stack[h+ky]^T  (batched dot over H, then reduce)
     for ky in range(3):
-        rows = jax.lax.slice_in_dim(stack, ky, ky + h_img, axis=0)  # (H, 3cin, W)
+        if pack > 1:
+            rows = _dx_stack_packed(taps[ky], w // pack)  # (Hp, 3cin, L)
+        else:
+            rows = jax.lax.slice_in_dim(stack, ky, ky + h_img, axis=0)  # (H, 3cin, W)
         dwk = jax.lax.dot_general(
             g, rows, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # (H, cout, 3cin)
         dw_ref[:, ky * 3 * cin : (ky + 1) * 3 * cin] += jnp.sum(dwk, axis=0)
 
-    # dx: d_stack[p] = sum_ky W_ky^T @ g_zpad[p - ky + 1] for the H live
-    # rows p in [1, H]; row offsets are STATIC slices of the zero-padded g
-    zrow = jnp.zeros((1, cout, w), g.dtype)
-    g_zpad = jnp.concatenate([zrow, g, zrow], axis=0)  # (H+2, cout, W)
+    # dx: d_stack[p] = sum_ky W_ky^T @ g[p + 1 - ky] — the tap row shift
+    # rides on g (row shifts commute with the per-position channel
+    # contraction; zero edge rows stay zero through the dot), so d_stack
+    # rows align with hx rows directly
+    if pack > 1:
+        g_taps = _row_taps(g, w // pack)  # (up, center, down)
+    else:
+        zrow = jnp.zeros((1, cout, w), g.dtype)
+        g_zpad = jnp.concatenate([zrow, g, zrow], axis=0)  # (H+2, cout, W)
     d_stack = jnp.zeros((h_img, 3 * cin, w), jnp.float32)
     for ky in range(3):
-        rg = jax.lax.slice_in_dim(g_zpad, 2 - ky, 2 - ky + h_img, axis=0)
+        if pack > 1:
+            rg = g_taps[2 - ky]  # ky=0 -> g[row+1] (down), ky=2 -> up
+        else:
+            rg = jax.lax.slice_in_dim(g_zpad, 2 - ky, 2 - ky + h_img, axis=0)
         wk = jax.lax.slice_in_dim(wmat, ky * 3 * cin, (ky + 1) * 3 * cin, axis=1)
         wkt = jnp.broadcast_to(jnp.swapaxes(wk, 0, 1)[None], (h_img, 3 * cin, cout))
         d_stack = d_stack + jax.lax.dot_general(
@@ -289,6 +366,14 @@ def _layer_bwd_kernel(x_ref, wmat_ref, y_ref, gy_ref, gs_ref, *rest, relu_in, ti
     b1 = jax.lax.slice_in_dim(d_stack, cin, 2 * cin, axis=1)
     b2 = jax.lax.slice_in_dim(d_stack, 2 * cin, 3 * cin, axis=1)
     zc = jnp.zeros(b0.shape[:-1] + (1,), b0.dtype)
+    if pack > 1:
+        # adjoint of the seam-masked shifts: mask the block at its dead
+        # seam lanes, THEN shift back (the packed fwd zeroed those lanes,
+        # so their cotangent must not cross the seam)
+        w_img = w // pack
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2) % w_img
+        b0 = jnp.where(lane == 0, jnp.zeros_like(b0), b0)
+        b2 = jnp.where(lane == w_img - 1, jnp.zeros_like(b2), b2)
     # fwd block dx: out[w] = hp[w+dx]  =>  d_hp[w] += block[w - dx]
     # block0 had dx=-1: d_hp[w] += b0[w+1];  block2 dx=+1: d_hp[w] += b2[w-1]
     d_hx = (
@@ -311,7 +396,7 @@ def _layer_bwd_kernel(x_ref, wmat_ref, y_ref, gy_ref, gs_ref, *rest, relu_in, ti
     dx_ref[0] = jnp.swapaxes(dx, 1, 2) if tin else dx
 
 
-def _pallas_layer_bwd(x, wmat, y, gy, gs, ab, *, relu_in, interpret, tin=False, tout=False):
+def _pallas_layer_bwd(x, wmat, y, gy, gs, ab, *, relu_in, interpret, tin=False, tout=False, pack=1):
     n = x.shape[0]
     cout = wmat.shape[0]
     specs = [
@@ -340,7 +425,7 @@ def _pallas_layer_bwd(x, wmat, y, gy, gs, ab, *, relu_in, interpret, tin=False, 
         out_specs.append(pl.BlockSpec((2, cin), lambda i: (0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((2, cin), jnp.float32))
     return pl.pallas_call(
-        functools.partial(_layer_bwd_kernel, relu_in=relu_in, tin=tin, tout=tout),
+        functools.partial(_layer_bwd_kernel, relu_in=relu_in, tin=tin, tout=tout, pack=pack),
         grid=(n,),
         in_specs=specs,
         out_specs=out_specs,
@@ -365,8 +450,8 @@ def _pad_wmat(wmat, cin):
     return jnp.pad(w3, ((0, 0), (0, 0), (0, 8 - cin))).reshape(cout, 72)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _fused_layer(x, wmat, bias, ab, relu_in, tin, tout):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_layer(x, wmat, bias, ab, relu_in, tin, tout, pack):
     cin = x.shape[3] if tin else x.shape[2]
     wm = _pad_wmat(wmat, cin) if cin < 8 else wmat
     y, s1, s2 = _pallas_layer(
@@ -378,16 +463,17 @@ def _fused_layer(x, wmat, bias, ab, relu_in, tin, tout):
         interpret=MODE == "interpret",
         tin=tin,
         tout=tout,
+        pack=pack,
     )
     return y, s1, s2
 
 
-def _fused_layer_fwd(x, wmat, bias, ab, relu_in, tin, tout):
-    y, s1, s2 = _fused_layer(x, wmat, bias, ab, relu_in, tin, tout)
+def _fused_layer_fwd(x, wmat, bias, ab, relu_in, tin, tout, pack):
+    y, s1, s2 = _fused_layer(x, wmat, bias, ab, relu_in, tin, tout, pack)
     return (y, s1, s2), (x, wmat, ab, y)
 
 
-def _fused_layer_bwd(relu_in, tin, tout, res, cts):
+def _fused_layer_bwd(relu_in, tin, tout, pack, res, cts):
     x, wmat, ab, y = res
     gy, gs1, gs2 = cts
     cin = x.shape[3] if tin else x.shape[2]
@@ -404,6 +490,7 @@ def _fused_layer_bwd(relu_in, tin, tout, res, cts):
         interpret=MODE == "interpret",
         tin=tin,
         tout=tout,
+        pack=pack,
     )
     if relu_in:
         dx, dw, dbias, dab = outs
@@ -420,7 +507,7 @@ _fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
 
 
 def fused_conv_layer(x, wmat, bias, ab=None, *, relu_in=True, transpose_in=False,
-                     transpose_out=False):
+                     transpose_out=False, pack=1):
     """One fused ResBlock layer on (N, H, C, W) activations.
 
     y = conv3x3(relu(a*x + b)) + bias, plus f32 per-channel
@@ -438,9 +525,11 @@ def fused_conv_layer(x, wmat, bias, ab=None, *, relu_in=True, transpose_in=False
     the model's sg_bias semantics wrap ``bias`` in
     ``jax.lax.stop_gradient`` (models/blocks.py:SGBiasConv).
     """
+    if pack > 1:
+        assert not (transpose_in or transpose_out), "packed chains use XLA-side pack/unpack"
     if ab is None:
         ab = jnp.zeros((2, x.shape[3] if transpose_in else x.shape[2]), jnp.float32)
-    return _fused_layer(x, wmat, bias, ab, relu_in, transpose_in, transpose_out)
+    return _fused_layer(x, wmat, bias, ab, relu_in, transpose_in, transpose_out, pack)
 
 
 def reference_layer(x, wmat, bias, ab=None, *, relu_in=True):

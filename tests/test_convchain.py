@@ -440,3 +440,130 @@ def test_eligibility_gates():
 
     with mesh_scope():
         assert not convchain.eligible(16, 128, 128, 64, 64, jnp.float32, train=True)
+
+
+def _pack_nhcw(x, p):
+    """(N, H, C, W) -> (N, H/p, C, p*W): p consecutive image rows side by
+    side on the lanes (the convchain.PACK layout)."""
+    n, h, c, w = x.shape
+    return x.reshape(n, h // p, p, c, w).transpose(0, 1, 3, 2, 4).reshape(n, h // p, c, p * w)
+
+
+def _unpack_nhcw(y, p):
+    n, hp, c, l = y.shape
+    w = l // p
+    return y.reshape(n, hp, c, p, w).transpose(0, 1, 3, 2, 4).reshape(n, hp * p, c, w)
+
+
+class TestPacked:
+    """convchain.PACK: W<128 stages with 128/W rows packed on the lanes.
+    The packed kernel must equal the unpacked reference layer exactly at
+    the row seams (ky taps crossing packed-row boundaries) and the image
+    edges (seam masks)."""
+
+    @pytest.mark.parametrize("h,w", [(10, 64), (8, 32), (8, 16)])
+    @pytest.mark.parametrize("relu_in", [True, False])
+    def test_fwd_matches_reference(self, h, w, relu_in):
+        p = 128 // w
+        rng = np.random.default_rng(h * w)
+        cin, cout = 16, 8
+        x = jnp.asarray(rng.normal(0, 1, (2, h, cin, w)), jnp.float32)
+        kernel = jnp.asarray(rng.normal(0, 0.1, (3, 3, cin, cout)), jnp.float32)
+        wmat = convchain.kernel_matrix(kernel)
+        bias = jnp.asarray(rng.normal(0, 0.1, (cout,)), jnp.float32)
+        ab = jnp.asarray(
+            np.stack([rng.uniform(0.5, 1.5, cin), rng.normal(0, 0.3, cin)]), jnp.float32
+        )
+        abk = ab if relu_in else None
+        yk, s1k, s2k = convchain.fused_conv_layer(
+            _pack_nhcw(x, p), wmat, bias, abk, relu_in=relu_in, pack=p
+        )
+        yr, s1r, s2r = convchain.reference_layer(x, wmat, bias, abk, relu_in=relu_in)
+        np.testing.assert_allclose(
+            np.asarray(_unpack_nhcw(yk, p)), np.asarray(yr), atol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(s1k), np.asarray(s1r), atol=2e-2)
+        np.testing.assert_allclose(np.asarray(s2k), np.asarray(s2r), atol=2e-1)
+
+    @pytest.mark.parametrize("h,w", [(10, 64), (8, 32)])
+    def test_vjp_matches_reference(self, h, w):
+        p = 128 // w
+        rng = np.random.default_rng(h + w)
+        cin, cout = 16, 8
+        x = jnp.asarray(rng.normal(0, 1, (2, h, cin, w)), jnp.float32)
+        kernel = jnp.asarray(rng.normal(0, 0.1, (3, 3, cin, cout)), jnp.float32)
+        wmat = convchain.kernel_matrix(kernel)
+        bias = jnp.asarray(rng.normal(0, 0.1, (cout,)), jnp.float32)
+        ab = jnp.asarray(
+            np.stack([rng.uniform(0.5, 1.5, cin), rng.normal(0, 0.3, cin)]), jnp.float32
+        )
+        gy = jnp.asarray(rng.normal(0, 1, (2, h, cout, w)), jnp.float32)
+        gs1 = jnp.asarray(rng.normal(0, 0.1, (cout,)), jnp.float32)
+        gs2 = jnp.asarray(rng.normal(0, 0.05, (cout,)), jnp.float32)
+
+        def k_fn(x_, w_, b_, ab_):
+            y, s1, s2 = convchain.fused_conv_layer(
+                _pack_nhcw(x_, p), w_, b_, ab_, relu_in=True, pack=p
+            )
+            return _unpack_nhcw(y, p), s1, s2
+
+        def r_fn(x_, w_, b_, ab_):
+            return convchain.reference_layer(x_, w_, b_, ab_, relu_in=True)
+
+        args = (x, wmat, bias, ab)
+        outk, vjpk = jax.vjp(k_fn, *args)
+        outr, vjpr = jax.vjp(r_fn, *args)
+        np.testing.assert_allclose(np.asarray(outk[0]), np.asarray(outr[0]), atol=1e-5)
+        gk = vjpk((gy, gs1, gs2))
+        gr = vjpr((gy, gs1, gs2))
+        for name, a, b in zip(["dx", "dwmat", "dbias", "dab"], gk, gr):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            scale = max(np.abs(b).max(), 1e-6)
+            np.testing.assert_allclose(a, b, atol=5e-4 * scale, err_msg=name)
+
+    def test_packed_border_exact(self):
+        """Zero-padding semantics with packing: numpy direct conv oracle
+        on a W=32/P=4 case (exercises all 3 interior lane seams AND the
+        packed-row carries)."""
+        p, h, w, cin, cout = 4, 8, 32, 8, 8
+        rng = np.random.default_rng(5)
+        x = rng.normal(0, 1, (1, h, cin, w)).astype(np.float32)
+        k = rng.normal(0, 0.3, (3, 3, cin, cout)).astype(np.float32)
+        y_np = np.zeros((1, h, cout, w), np.float32)
+        xp = np.pad(x, ((0, 0), (1, 1), (0, 0), (1, 1)))
+        for hh in range(h):
+            for ww in range(w):
+                patch = xp[0, hh : hh + 3, :, ww : ww + 3]  # (ky, C, kx)
+                y_np[0, hh, :, ww] = np.tensordot(
+                    patch.transpose(0, 2, 1), k, axes=([0, 1, 2], [0, 1, 2])
+                )
+        yk, _, _ = convchain.fused_conv_layer(
+            _pack_nhcw(jnp.asarray(x), p),
+            convchain.kernel_matrix(jnp.asarray(k)),
+            jnp.zeros((cout,)),
+            relu_in=False,
+            pack=p,
+        )
+        np.testing.assert_allclose(np.asarray(_unpack_nhcw(yk, p)), y_np, atol=1e-4)
+
+
+class TestResBlockIntegrationPacked(TestResBlockIntegration):
+    """The full ResBlock chain on a W=32 (pack=4) stage."""
+
+    def _x(self, cin, seed=0):
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(rng.normal(0, 1, (2, 8, 32, cin)), jnp.float32)
+
+
+def test_pack_factor():
+    assert convchain.pack_factor(128, 128) == 1
+    assert convchain.pack_factor(64, 64) == 2
+    assert convchain.pack_factor(32, 32) == 4
+    assert convchain.pack_factor(16, 16) == 8
+    assert convchain.pack_factor(8, 8) == 0  # H % 16 != 0
+    assert convchain.pack_factor(6, 32) == 0  # H % 4 != 0
+    assert convchain.pack_factor(128, 100) == 0
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(convchain, "PACK", False)
+        assert not convchain.eligible(16, 64, 64, 64, 64, jnp.float32, train=True)
+    assert convchain.eligible(16, 64, 64, 64, 64, jnp.float32, train=True)
