@@ -63,9 +63,16 @@ VMEM_TRANSPOSE = False
 # lanes ((N, H/P, C, P*W) activations), so the deep C>=128 stages fill
 # all 128 output lanes too.  ky taps become one slice+concat row shift
 # per direction (lane groups carry across packed-row boundaries); kx
-# shifts mask the P-1 interior seams.  Round-5 extension; flag for
-# composed A/B isolation (probe51).
-PACK = True
+# shifts mask the P-1 interior seams.
+# REFUTED COMPOSED for TRAINING (probe51: +3.9 ms on the canonical step,
+# 45.0 vs 41.1 ms base) — the deep stages' convs are already at the
+# emitter's MXU floor and the packed taps + VJP pass cost more than the
+# fused BN-stat machinery saves.  Default OFF for training; the path +
+# its parity suite (tests/test_convchain.py::TestPacked*) stay as the
+# documented negative result, and the layout is reused by the int8
+# serving chain (q8chain.py), where the MAC-bound hypothesis applies to
+# an MXU running at 2x int8 rate with no backward pass.
+PACK = False
 # Per-call VMEM budget (bytes): x + shifted stack (3x) + y + f32 temps.
 VMEM_BUDGET = 100 * 1024 * 1024
 _COMPILER_PARAMS = pltpu.CompilerParams(

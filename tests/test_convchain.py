@@ -548,7 +548,15 @@ class TestPacked:
 
 
 class TestResBlockIntegrationPacked(TestResBlockIntegration):
-    """The full ResBlock chain on a W=32 (pack=4) stage."""
+    """The full ResBlock chain on a W=32 (pack=4) stage.  PACK is
+    default-OFF for training (probe51 composed refutation); force it on
+    so the documented-negative-result path stays correct."""
+
+    @pytest.fixture(autouse=True)
+    def _pack_on(self):
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(convchain, "PACK", True)
+            yield
 
     def _x(self, cin, seed=0):
         rng = np.random.default_rng(seed)
@@ -563,7 +571,8 @@ def test_pack_factor():
     assert convchain.pack_factor(8, 8) == 0  # H % 16 != 0
     assert convchain.pack_factor(6, 32) == 0  # H % 4 != 0
     assert convchain.pack_factor(128, 100) == 0
+    # default: PACK off for training (probe51 refutation)
+    assert not convchain.eligible(16, 64, 64, 64, 64, jnp.float32, train=True)
     with pytest.MonkeyPatch.context() as mp:
-        mp.setattr(convchain, "PACK", False)
-        assert not convchain.eligible(16, 64, 64, 64, 64, jnp.float32, train=True)
-    assert convchain.eligible(16, 64, 64, 64, 64, jnp.float32, train=True)
+        mp.setattr(convchain, "PACK", True)
+        assert convchain.eligible(16, 64, 64, 64, 64, jnp.float32, train=True)
