@@ -171,14 +171,71 @@ class _Int8Engine:
     def resblock(self, site, blk, x):
         if blk.get("type") == "A":
             return self._ablock(site, blk, x)
+        entries = [self.p[f"{site}.c{i}"] for i in range(blk["n_layers"])]
+        split, p = self._chain_split(entries, x)
         h = x
-        for i in range(blk["n_layers"]):
+        for i in range(split):
             # each conv entry folds its own dequant + bias + eval-BN affine
-            h = _qconv(self.p[f"{site}.c{i}"], h, self.glue)
+            h = _qconv(entries[i], h, self.glue)
             if i + 1 < blk["n_layers"]:
                 h = nnx.relu(h)
+        if split < blk["n_layers"]:
+            # suffix runs as the fused int8 conv-chain kernels (the
+            # prefix loop already applied its trailing ReLU; the chain
+            # entry just requantizes with the post-ReLU amax scale)
+            h = self._resblock_chain(entries[split:], h, p)
         r = _qconv(self.p[f"{site}.res"], x, self.glue)
         return nnx.relu(h + r)
+
+    @staticmethod
+    def _chain_split(entries, x):
+        """(first chained layer index, pack) for running a suffix of the
+        conv stack as fused int8 convchain-layout kernels
+        (ops/pallas/q8chain); (n_layers, 0) = all-XLA.  Suffix logic like
+        blocks.ResBlock._convchain_split: the entry conv (cin=1) and any
+        non-3x3 / unaligned layer stay on the XLA int8 path."""
+        from .ops.pallas import convchain, q8chain
+
+        n, h, w = x.shape[0], x.shape[1], x.shape[2]
+        split = len(entries)
+        for i in range(len(entries) - 1, -1, -1):
+            k = entries[i]["w8"]
+            if k.ndim != 4 or k.shape[:2] != (3, 3):
+                break
+            if not q8chain.eligible(n, h, w, k.shape[2], k.shape[3]):
+                break
+            split = i
+        if split == len(entries):
+            return split, 0
+        return split, convchain.pack_factor(h, w)
+
+    def _resblock_chain(self, entries, x, p):
+        """The conv stack as int8 Pallas passes in the W-on-lanes layout:
+        quantize once, stay int8 through the mid-chain requants (the f32
+        affine + ReLU + requant live in VMEM), emit glue dtype at the
+        tail.  Mid-chain this skips the XLA path's bf16 round-trip
+        between affine and requant — strictly tighter, gated end-to-end
+        by experiments/int8_quality.py."""
+        from .ops.pallas import convchain, q8chain
+
+        w_img = x.shape[2]
+        xq = quantize_tensor(x, entries[0]["inv_sx"])  # NHWC int8
+        ht = q8chain.pack_nhwc(xq, p) if p > 1 else jnp.transpose(xq, (0, 1, 3, 2))
+        for i, e in enumerate(entries):
+            last = i + 1 == len(entries)
+            wmat8 = convchain.kernel_matrix(e["w8"])
+            if last:
+                affine = jnp.stack([e["alpha"], e["beta"]])
+            else:
+                inv_nxt = entries[i + 1]["inv_sx"]
+                affine = jnp.stack([e["alpha"] * inv_nxt, e["beta"] * inv_nxt])
+            ht = q8chain.q8_conv_layer(
+                ht, wmat8, affine.astype(jnp.float32), last=last, pack=p,
+                out_dtype=self.glue,
+            )
+        if p > 1:
+            return q8chain.unpack_nhwc(ht, p, w_img)
+        return jnp.transpose(ht, (0, 1, 3, 2))
 
     def _ablock(self, site, blk, x):
         # pre-conv BN is an input-side affine: it cannot fold through the

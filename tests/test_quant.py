@@ -341,3 +341,40 @@ def test_quantized_in_predict_loop():
         out_dir = f"{d}/preds"
         predict_images(q, ds, out_dir=out_dir)
         assert len(os.listdir(out_dir)) == 2
+
+
+def test_quantized_resblock_chain_path_matches_xla_engine():
+    """The fused int8 conv-chain (ops/pallas/q8chain, interpret mode)
+    vs the per-conv XLA int8 engine on a chain-eligible model
+    (32-aligned channels, lane-packable 16x16 input): same scheme, so
+    outputs must agree to fp-glue noise (the chain skips the XLA path's
+    mid-chain glue-dtype round-trip, so bitwise equality is not
+    expected; closeness IS)."""
+    from pssr2_tpu.ops.pallas import q8chain
+
+    model = ResUNet(hidden=[32, 64], scale=2, depth=1, rngs=nnx.Rngs(0))
+    model.eval()
+    q = quantize_resunet(model, _batches())
+    x = jnp.asarray(_batches(n=1, seed=7)[0])
+
+    from pssr2_tpu.quant import QuantizedResUNet
+
+    old = q8chain.MODE
+    try:
+        # eligibility is consulted at TRACE time, so each mode needs a
+        # fresh executor (q's cached jit pinned the mode of its first call)
+        q8chain.MODE = "off"
+        ref = np.asarray(QuantizedResUNet(q.params, q._meta)(x), np.float32)
+        q8chain.MODE = "interpret"
+        calls = []
+        orig = q8chain.q8_conv_layer
+        q8chain.q8_conv_layer = lambda *a, **k: (calls.append(a[0].shape), orig(*a, **k))[1]
+        try:
+            out = np.asarray(QuantizedResUNet(q.params, q._meta)(x), np.float32)
+        finally:
+            q8chain.q8_conv_layer = orig
+    finally:
+        q8chain.MODE = old
+    assert calls, "q8chain never engaged — test is vacuous"
+    rel = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel < 5e-3, f"chain-vs-XLA int8 relative L2 error {rel:.5f}"
