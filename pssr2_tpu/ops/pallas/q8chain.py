@@ -22,6 +22,23 @@ quantization at all; this is a TPU-native extra):
 Training is out of scope (quantization is serving-only, quant.py).
 Semantics being preserved: conv->eval-BN->ReLU chains of
 pssr/models/_blocks.py:20-41 under quant.py's W8A8 numbers.
+
+**REFUTED COMPOSED (round 5, experiments/profile_int8_chain.json).**
+End-to-end canonical serving A/B (batch-16 128->512, interleaved
+trials): bf16 14.91 ms, per-conv XLA int8 12.41 ms (1.20x), this chain
+13.92 ms packed / 13.45 ms W=128-only — the chain loses ~1.0-1.5 ms to
+the XLA int8 path it replaces.  Two compounding causes, consistent with
+probe51's training refutation and probe52/52b: (1) the deep stages'
+int8 convs are already lane-full under the XLA emitter, so the MAC-rate
+hypothesis only ever applied to the C<=64 stages — a minority of the
+already-int8 conv time; (2) the per-image Pallas grid serializes layer
+passes that XLA pipelines across fusions (the probe41 issue-overhead
+regime; a single-op Mosaic dot could not even be timed through the
+~4 ms dispatch floor).  MODE defaults "off"; the kernels + bitwise
+parity suite (tests/test_q8chain.py) and the engine suffix-split
+integration stay as the documented negative result.  The shipping int8
+serving path remains quant.py's XLA engine (ResUNet 1.32x, floor ~1.47x
+— results_r4.md).
 """
 
 import functools
@@ -33,8 +50,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import convchain
 
-# "auto" (kernel on TPU for eligible shapes), "off", "interpret"
-MODE = "auto"
+# "auto" (kernel on TPU for eligible shapes), "off", "interpret".
+# Default "off": refuted composed (module docstring / profile_int8_chain).
+MODE = "off"
 # Packed W<128 serving stages: independent of convchain.PACK (that flag
 # is the TRAINING refutation, probe51 — no backward pass here and the
 # MXU runs int8 at 2x, so the serving decision gets its own probe).
