@@ -3,7 +3,7 @@
 BASELINE.md's north star names tiled inference (tiles/sec, the
 SlidingDataset predict hot path) as a first-class metric; bench.py's
 BENCH_MODE=infer computes it but no artifact was ever committed.  This
-runner records ResUNet x4 and SwinIR x4 batch-16 bf16 tiles/sec (plus
+runner records ResUNet / RDResUNet / SwinIR x4 batch-16 bf16 tiles/sec (plus
 the batch-1 reference-architecture baseline ratio, the reference's
 default predict path — pssr/predict.py:39 batch_size None=1) into
 experiments/bench_infer_r{N}.json, tracked round over round.
@@ -24,7 +24,7 @@ ROOT = os.path.dirname(HERE)
 def main():
     tag = sys.argv[1] if len(sys.argv) > 1 else "r5"
     out = {"recorded": time.strftime("%Y-%m-%d %H:%M:%S"), "protocol": "bench.py BENCH_MODE=infer (batch 16 bf16 128->512; vs_baseline = batched tiles/sec over batch-1 forwards/sec)"}
-    for model in ("resunet", "swinir"):
+    for model in ("resunet", "rdresunet", "swinir"):
         env = dict(os.environ, BENCH_MODE="infer", BENCH_MODEL=model)
         env.setdefault("JAX_CACHE_DIR", "/tmp/jax_cache")
         res = subprocess.run(
