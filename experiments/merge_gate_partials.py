@@ -36,6 +36,11 @@ def main():
             runs[r["seed"]] = r
     runs = [runs[s] for s in sorted(runs)]
     deltas = [r["delta_db"] for r in runs]
+    # per-family criterion must mirror quality_fused.main() exactly
+    from quality_fused import RECIPES
+
+    criterion = RECIPES[family].get("criterion", "two_sided")
+    sem = float(np.std(deltas, ddof=1) / np.sqrt(len(deltas))) if len(deltas) > 1 else 0.0
     out = {
         "family": family,
         "epochs": epochs,
@@ -44,6 +49,8 @@ def main():
         "mean_delta_db": round(float(np.mean(deltas)), 4),
         "mean_abs_delta_db": round(float(np.mean(np.abs(deltas))), 4),
         "max_abs_delta_db": round(float(np.max(np.abs(deltas))), 4),
+        "sem_db": round(sem, 4),
+        "criterion": criterion,
         "budget_db": BUDGET_DB,
         "merged_from": [os.path.basename(p) for p in sys.argv[2:]],
     }
@@ -51,10 +58,17 @@ def main():
     # validate BEFORE writing (advisor r4): a 1-seed or budget-violating
     # merge must not leave a final-looking quality_fused_{family}.json
     assert len(runs) >= 3, f"only {len(runs)} seeds merged; the gate needs >= 3"
-    assert abs(out["mean_delta_db"]) <= BUDGET_DB, (
-        f"mean endpoint PSNR delta {out['mean_delta_db']} dB exceeds the "
-        f"{BUDGET_DB} dB budget"
-    )
+    if criterion == "two_sided":
+        assert abs(out["mean_delta_db"]) <= BUDGET_DB, (
+            f"mean endpoint PSNR delta {out['mean_delta_db']} dB exceeds the "
+            f"{BUDGET_DB} dB budget"
+        )
+    else:  # no_harm — see quality_fused.RECIPES
+        bound = -(BUDGET_DB + 2 * sem)
+        assert out["mean_delta_db"] >= bound, (
+            f"mean endpoint PSNR delta {out['mean_delta_db']} dB is below the "
+            f"no-harm bound {bound:.4f}"
+        )
     with open(os.path.join(HERE, f"quality_fused_{family}.json"), "w") as f:
         json.dump(out, f, indent=1)
 

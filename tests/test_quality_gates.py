@@ -47,21 +47,48 @@ def test_int8_quality_gate():
         assert row["int8_vs_fp_psnr"] >= 40, (family, row)
 
 
-@pytest.mark.parametrize("family", ["swinir", "rdres"])
+@pytest.mark.parametrize("family", ["swinir", "rdres", "resunet"])
 def test_fused_vjp_convergence_gate(family):
     """Convergence-endpoint PSNR of the fused-VJP training paths
-    (swinblock / rdtail Pallas kernels) must match the XLA-autodiff twin
-    to <= 0.05 dB MEAN over seeds after the full 220-epoch quality_demo
-    protocol (experiments/quality_fused.py; VERDICT r3 #2).  Mean over
-    seeds because single-seed endpoint deltas are fp-reorder chaos
-    (identical-math twins spread 0.01-0.11 dB/seed —
-    experiments/train_parity.md); a systematic kernel divergence (the
-    bf16-loss NaN precedent) survives averaging."""
+    (swinblock / rdtail / convchain Pallas kernels) must match the
+    XLA-autodiff twin to <= 0.05 dB MEAN over seeds after the full
+    220-epoch quality_demo protocol (experiments/quality_fused.py;
+    VERDICT r3 #2, r4 #5).  Mean over seeds because single-seed endpoint
+    deltas are fp-reorder chaos (identical-math twins spread
+    0.01-0.11 dB/seed — experiments/train_parity.md); a systematic
+    kernel divergence (the bf16-loss NaN precedent) survives
+    averaging."""
     out = _load(f"quality_fused_{family}.json", required=True)
     assert out["epochs"] >= 200, out
     assert len(out["runs"]) >= 3, out
-    assert abs(out["mean_delta_db"]) <= out["budget_db"], out
+    if out.get("criterion", "two_sided") == "two_sided":
+        assert abs(out["mean_delta_db"]) <= out["budget_db"], out
+    else:
+        # chaos-regime endpoint (see quality_fused.py RECIPES): the task's
+        # own fp-reorder spread dwarfs the budget, so the endpoint gate
+        # asserts statistical no-harm; the high-power certification is the
+        # deterministic gradient-bias gate checked below.
+        bound = -(out["budget_db"] + 2 * out["sem_db"])
+        assert out["mean_delta_db"] >= bound, out
     # every endpoint must be a trained model, not a divergent run
     for r in out["runs"]:
         assert r["fused"]["val_psnr"] > 20 and r["unfused"]["val_psnr"] > 20, r
         assert r["fused"]["kernel_calls"] > 0, r  # gate is non-vacuous
+
+
+def test_convchain_grad_bias_gate():
+    """The deterministic gradient-bias gate for the convchain fused
+    training path (experiments/convchain_grad_bias.py): a kernel-math
+    bug is DIRECTIONAL (the r4 SwinIR roll bug showed t ~ 100 on its
+    carrier leaves; clean leaves sit at t ~ 1), and the kernel's
+    fp-reorder scale must not exceed the architecture's own
+    XLA-reorder null floor (same program, batch-permuted input) by more
+    than the recorded factor.  This is the high-power complement to the
+    chaos-regime endpoint gate above."""
+    out = _load("convchain_grad_bias.json", required=True)
+    assert out["worst_t"] <= out["t_budget"], out
+    assert (
+        out["worst_bias_over_grad"]
+        <= out["null_factor"] * out["worst_null_bias_over_grad"]
+    ), out
+    assert len(out["leaves"]) > 10, out
