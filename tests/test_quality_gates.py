@@ -76,19 +76,21 @@ def test_fused_vjp_convergence_gate(family):
         assert r["fused"]["kernel_calls"] > 0, r  # gate is non-vacuous
 
 
-def test_convchain_grad_bias_gate():
-    """The deterministic gradient-bias gate for the convchain fused
-    training path (experiments/convchain_grad_bias.py): a kernel-math
-    bug is DIRECTIONAL (the r4 SwinIR roll bug showed t ~ 100 on its
-    carrier leaves; clean leaves sit at t ~ 1), and the kernel's
-    fp-reorder scale must not exceed the architecture's own
-    XLA-reorder null floor (same program, batch-permuted input) by more
-    than the recorded factor.  This is the high-power complement to the
-    chaos-regime endpoint gate above."""
-    out = _load("convchain_grad_bias.json", required=True)
-    assert out["worst_t"] <= out["t_budget"], out
-    assert (
-        out["worst_bias_over_grad"]
-        <= out["null_factor"] * out["worst_null_bias_over_grad"]
-    ), out
-    assert len(out["leaves"]) > 10, out
+@pytest.mark.parametrize("family", ["resunet", "rdres", "swinir"])
+def test_grad_bias_gate(family):
+    """The deterministic gradient-bias gate for every default-ON fused
+    training path at its SHIPPING flagship config
+    (experiments/grad_bias.py): a kernel-math bug is large AND
+    directional (the r4 SwinIR roll bug: t ~ 100 at bias_over_grad
+    0.045 on normal-scale leaves), while the benign classes —
+    architecture fp-chaos (large but t ~ 1), precision-class kernel
+    rounding (directional but <= 0.2%), and softmax-invariance
+    cancellation residuals (gmag 5+ orders below scale) — each miss a
+    prong.  The artifact must record ZERO leaves hitting both prongs.
+    This is the high-power complement to the endpoint gates above."""
+    out = _load(f"grad_bias_{family}.json", required=True)
+    assert out["violations"] == [], out["violations"]
+    assert out["n_asserted"] > 10, out
+    # thresholds must not have drifted above the calibration (r4 bug at
+    # t~100/0.045 must stay detectable with wide margin)
+    assert out["t_budget"] <= 20 and out["bog_budget"] <= 0.01, out
