@@ -8,12 +8,14 @@ batch 16, AdamW 1e-3, SSIMLoss(mix=0.8, MS).
 Primary metric: absolute train-step throughput (crappified patches/sec/chip,
 median of trials) plus MFU computed from the analytic model FLOP count —
 both device-bound and stable run to run.  By default the timed path is the
-shipped nnx.scan trainer (``train_paired(steps_per_dispatch=16)``,
+shipped nnx.scan trainer (``train_paired(steps_per_dispatch=64)``,
 BENCH_SPD to change / 1 for per-step dispatch): the production hot path,
 which also amortizes this host's ~4 ms/dispatch tunnel overhead that real
-TPU hosts do not pay (experiments/mxu_probe11).  SPD sweep (round 3):
-8 -> 402.5 p/s, 16 -> 407.0, 32 -> 409.2 — 16 is the default (the 16->32
-gain is ~0.5% against doubled callback/logging buffering lag).
+TPU hosts do not pay (experiments/mxu_probe11).  SPD sweeps: round 3
+8 -> 402.5 p/s, 16 -> 407.0, 32 -> 409.2 (16 shipped); round 5 after the
+convchain flag flip shrank the step, the interleaved probe53 sweep gave
+16 -> 409.3, 32 -> 410.9, 64 -> 417.2 — 64 is the default now (callback/
+logging granularity is a user knob on train_paired, not a bench concern).
 
 ``vs_baseline`` compares against a PINNED reference-architecture pipeline
 measurement recorded in BASELINE_PIN.json (host numpy/PIL crappification
@@ -232,8 +234,11 @@ def main():
     # BENCH_SPD>1 measures the shipped nnx.scan trainer
     # (train_paired(steps_per_dispatch=K)): K steps per dispatch, which is
     # the production hot path and amortizes the ~4 ms/dispatch tunnel cost
-    # this bench host pays (real TPU hosts pay far less).
-    spd = int(os.environ.get("BENCH_SPD", 16))
+    # this bench host pays (real TPU hosts pay far less).  Depth default
+    # 64 per the probe53 interleaved sweep (16 -> 409.3, 32 -> 410.9,
+    # 64 -> 417.2 p/s): the r5 convchain flag flip shrank the step, so
+    # the per-dispatch cost weighs more than when r3 picked 16.
+    spd = int(os.environ.get("BENCH_SPD", 64))
     if spd > 1:
         from flax import nnx
 
